@@ -1,0 +1,383 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeBuckets
+import graft.operators.{GapFill, Rollup, Skew}
+
+/** Driver-facing query catalog. Each entry exercises one engine operator
+  * from SURVEY.md §2 over the driver's testdata tables (events ≙ the
+  * transcripts shape: user_id→conv_id, ts→ts, value→measure) and has a
+  * DuckDB oracle in `sql` (consumed by SparkEntry.oracleSql).
+  *
+  * All float outputs are rounded IDENTICALLY on both sides so the driver's
+  * value-hash compare is robust to FP summation-order differences between
+  * Spark's partial aggregation and DuckDB's sequential aggregation.
+  */
+object Queries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "events")
+
+  /** Uniform user-facing tier projection (shared by tier queries + oracle). */
+  private def tierOut(t: DataFrame): DataFrame =
+    Rollup
+      .finalized(t)
+      .select(
+        col("conv_id"),
+        col("bucket_start"),
+        col("n_rows"),
+        col("n_vals"),
+        round(when(col("n_vals") > 0, col("sum")), 6).as("sum_v"),
+        col("min").as("min_v"),
+        col("max").as("max_v"),
+        round(col("mean"), 6).as("mean_v"),
+        round(col("stddev_samp"), 6).as("sd_v"))
+
+  private def tierOracle(trunc: String): String =
+    s"""SELECT user_id AS conv_id, date_trunc('$trunc', ts) AS bucket_start,
+       |  count(*) AS n_rows, count(value) AS n_vals,
+       |  round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+       |  round(avg(value), 6) AS mean_v, round(stddev_samp(value), 6) AS sd_v
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def weekOracle(sunday: Boolean): String = {
+    val b =
+      if (sunday) "date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY"
+      else "date_trunc('week', ts)"
+    s"""SELECT user_id AS conv_id, $b AS bucket_start,
+       |  count(*) AS n_rows, count(value) AS n_vals,
+       |  round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+       |  round(avg(value), 6) AS mean_v, round(stddev_samp(value), 6) AS sd_v
+       |FROM events GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Truncated-second time-of-day in hours (both engines floor to whole
+    * seconds — parity with R's %H:%M:%S formatting, SURVEY.md §2.9). */
+  private val todHoursDuck =
+    "(floor((epoch_us(ts) % 86400000000) / 1000000) / 3600.0)"
+
+  // ---------------------------------------------------------------- queries
+
+  val catalog: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    // S1/P2 + A1-A6: raw → 1m tier (flagship single hash aggregate).
+    "q_tier_1m" -> ((
+      (s: SparkSession, dir: String) =>
+        tierOut(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 minute")),
+      Some(tierOracle("minute")))),
+
+    // A14/§7 skew: salted two-phase rollup — must equal the unsalted plan.
+    "q_tier_1m_salted" -> ((
+      (s: SparkSession, dir: String) =>
+        tierOut(Skew.saltedRollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 minute", salts = 8)),
+      Some(tierOracle("minute")))),
+
+    // M3 cascade: 1h tier computed FROM the 1m tier (never re-scans raw);
+    // oracle aggregates raw directly — proves cascade associativity.
+    "q_tier_1h_cascade" -> ((
+      (s: SparkSession, dir: String) => {
+        val t1m = Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 minute")
+        tierOut(Rollup.rollupTier(t1m, "1 hour"))
+      },
+      Some(tierOracle("hour")))),
+
+    "q_tier_1d_cascade" -> ((
+      (s: SparkSession, dir: String) => {
+        val t1m = Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 minute")
+        val t1h = Rollup.rollupTier(t1m, "1 hour")
+        tierOut(Rollup.rollupTier(t1h, "1 day"))
+      },
+      Some(tierOracle("day")))),
+
+    // §2.5 week anchors: Monday (floor_date default) vs Sunday (week_start=7).
+    "q_week_monday" -> ((
+      (s: SparkSession, dir: String) => {
+        val t1d = Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day")
+        tierOut(Rollup.rollupTierBy(t1d, TimeBuckets.weekMonday(col("bucket_start"))))
+      },
+      Some(weekOracle(sunday = false)))),
+
+    "q_week_sunday" -> ((
+      (s: SparkSession, dir: String) => {
+        val t1d = Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day")
+        tierOut(Rollup.rollupTierBy(t1d, TimeBuckets.weekSunday(col("bucket_start"))))
+      },
+      Some(weekOracle(sunday = true)))),
+
+    // A9/A10 circular (circadian) mean + SD of event time-of-day per entity.
+    "q_circadian" -> ((
+      (s: SparkSession, dir: String) => {
+        val b = Rollup.rollupAllTime(events(s, dir), col("user_id"), col("ts"), col("value"))
+        Rollup
+          .finalized(b)
+          .select(
+            col("conv_id"),
+            col("n_rows"),
+            round(col("circ_mean_h"), 4).as("circ_mean_h"),
+            round(col("circ_sd_h"), 4).as("circ_sd_h"))
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT user_id AS conv_id,
+           |         sin(2*pi()*$todHoursDuck/24.0) AS s,
+           |         cos(2*pi()*$todHoursDuck/24.0) AS c
+           |  FROM events)
+           |SELECT conv_id, count(*) AS n_rows,
+           |  round(((atan2(sum(s), sum(c)) * 24.0 / (2*pi())) % 24 + 24) % 24, 4) AS circ_mean_h,
+           |  round(sqrt(-2.0 * ln(least(sqrt(sum(s)*sum(s) + sum(c)*sum(c)) / count(*), 1.0))) * 24.0 / (2*pi()), 4) AS circ_sd_h
+           |FROM b GROUP BY 1""".stripMargin))),
+
+    // P7 retention window: rows at/after per-entity anchor + interval.
+    "q_retention_14d" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir)
+        val anchors = ev.groupBy(col("user_id")).agg(min(col("ts")).as("anchor"))
+        ev.join(broadcast(anchors), Seq("user_id"))
+          .where(TimeBuckets.afterRetentionInterval(col("ts"), col("anchor"), "14 DAY"))
+          .groupBy(col("user_id").as("conv_id"))
+          .agg(count(lit(1)).as("n_after"), round(sum(col("value")), 6).as("sum_after"))
+      },
+      Some(
+        """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events GROUP BY 1)
+          |SELECT e.user_id AS conv_id, count(*) AS n_after, round(sum(e.value), 6) AS sum_after
+          |FROM events e JOIN a USING (user_id)
+          |WHERE e.ts >= a.anchor + INTERVAL 14 DAY
+          |GROUP BY 1""".stripMargin))),
+
+    // F1/F2 sliding windows over the daily tier + completeness filter
+    // (reference period_dt==21/182 → here: exact 3-calendar-day coverage).
+    "q_sliding_3d" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = Rollup
+          .finalized(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day"))
+          .select(col("conv_id"), col("bucket_start"), col("mean"))
+        val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("bucket_start"))
+        val w3 = wOrd.rowsBetween(-2, 0)
+        daily
+          .withColumn("mean3", avg(col("mean")).over(w3))
+          .withColumn("sd3", stddev_samp(col("mean")).over(w3))
+          .withColumn("prev2", lag(col("bucket_start"), 2).over(wOrd))
+          .where(col("prev2") === col("bucket_start") - expr("INTERVAL 2 DAY"))
+          .select(
+            col("conv_id"),
+            col("bucket_start"),
+            round(col("mean3"), 6).as("mean3"),
+            round(col("sd3"), 6).as("sd3"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT user_id AS conv_id, date_trunc('day', ts) AS bucket_start, avg(value) AS m
+          |  FROM events GROUP BY 1, 2)
+          |SELECT conv_id, bucket_start,
+          |  round(avg(m) OVER w3, 6) AS mean3,
+          |  round(stddev_samp(m) OVER w3, 6) AS sd3
+          |FROM d
+          |WINDOW w3 AS (PARTITION BY conv_id ORDER BY bucket_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+          |       wo AS (PARTITION BY conv_id ORDER BY bucket_start)
+          |QUALIFY lag(bucket_start, 2) OVER wo = bucket_start - INTERVAL 2 DAY""".stripMargin))),
+
+    // W6/A15 SRI-style lag-agreement score (reference 2880-epoch self-lag).
+    "q_sri_lag10" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("st", (col("value") > 25.0).cast("int"))
+          .withColumn("pv", lag(col("st"), 10).over(w))
+          .where(col("pv").isNotNull)
+          .groupBy(col("user_id").as("conv_id"))
+          .agg(round(lit(200.0) * avg((col("st") === col("pv")).cast("double")) - 100.0, 6).as("sri"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, (value > 25.0)::int AS st,
+          |         lag((value > 25.0)::int, 10) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+          |  FROM events)
+          |SELECT user_id AS conv_id,
+          |  round(200.0 * avg((st = pv)::int) - 100.0, 6) AS sri
+          |FROM g WHERE pv IS NOT NULL GROUP BY 1""".stripMargin))),
+
+    // M4 gap-fill: dense hourly grid per entity + LOCF.
+    "q_gapfill_locf_1h" -> ((
+      (s: SparkSession, dir: String) => {
+        val t1h = Rollup
+          .finalized(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 hour"))
+          .select(col("conv_id"), col("bucket_start"), round(col("mean"), 6).as("m"), col("n_rows"))
+        GapFill
+          .denseGrid(t1h, "1 HOUR")
+          .withColumn("filled", GapFill.locf(col("m")))
+          .select(col("conv_id"), col("bucket_start"), col("filled"), col("is_gap"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT user_id AS conv_id, date_trunc('hour', ts) AS b, round(avg(value), 6) AS m
+          |  FROM events GROUP BY 1, 2),
+          |span AS (SELECT conv_id, min(b) AS lo, max(b) AS hi FROM t GROUP BY 1),
+          |grid AS (SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM span)
+          |SELECT g.conv_id, g.b AS bucket_start,
+          |  last_value(t.m IGNORE NULLS) OVER (PARTITION BY g.conv_id ORDER BY g.b
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+          |  CASE WHEN t.m IS NULL THEN 1 ELSE 0 END AS is_gap
+          |FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.b = g.b""".stripMargin))),
+
+    // D2 keep-last per (entity, bucket) — overlapping-episode dedup.
+    "q_keep_last" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window
+          .partitionBy(col("user_id"), date_trunc("minute", col("ts")))
+          .orderBy(col("event_id").desc)
+        events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_id"), col("user_id").as("conv_id"),
+            date_trunc("minute", col("ts")).as("bucket_start"), col("event_type"), col("value"))
+      },
+      Some(
+        """SELECT event_id, user_id AS conv_id, date_trunc('minute', ts) AS bucket_start,
+          |  event_type, value
+          |FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+          |  ORDER BY event_id DESC) = 1""".stripMargin))),
+
+    // A4 exact percentiles (reference median/p5/p95, calcMetrics.R:74-77).
+    "q_pctl_exact" -> ((
+      (s: SparkSession, dir: String) =>
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.05)"), 6).as("p05"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.95)"), 6).as("p95")),
+      Some(
+        """SELECT event_type,
+          |  round(quantile_cont(value, 0.05), 6) AS p05,
+          |  round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.95), 6) AS p95
+          |FROM events GROUP BY 1""".stripMargin))),
+
+    // A8 NA-preserving sum: all-null group → null, not 0.
+    "q_na_sum" -> ((
+      (s: SparkSession, dir: String) => {
+        val v = when(col("value") < 5.0, col("value"))
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            when(count(v) === 0, lit(null)).otherwise(round(sum(v), 6)).as("na_sum"),
+            count(v).as("n_small"))
+      },
+      Some(
+        """SELECT event_type,
+          |  round(sum(CASE WHEN value < 5.0 THEN value END), 6) AS na_sum,
+          |  count(CASE WHEN value < 5.0 THEN value END) AS n_small
+          |FROM events GROUP BY 1""".stripMargin))),
+
+    // W1 lead-transition count (NumAwakenings analog, excl. trailing row).
+    "q_transitions" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .where(col("nxt").isNotNull && col("nxt") =!= col("event_type"))
+          .groupBy(col("user_id").as("conv_id"))
+          .agg(count(lit(1)).as("n_transitions"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, event_type,
+          |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          |  FROM events)
+          |SELECT user_id AS conv_id, count(*) AS n_transitions
+          |FROM g WHERE nxt IS NOT NULL AND nxt <> event_type GROUP BY 1""".stripMargin))),
+
+    // W4 first-match latency (REM-onset analog): first 'purchase' − first event.
+    "q_first_latency" -> ((
+      (s: SparkSession, dir: String) =>
+        events(s, dir)
+          .groupBy(col("user_id").as("conv_id"))
+          .agg(
+            (min(when(col("event_type") === "purchase", unix_micros(col("ts").cast("timestamp"))))
+              - min(unix_micros(col("ts").cast("timestamp")))).as("latency_us")),
+      Some(
+        """SELECT user_id AS conv_id,
+          |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) - min(epoch_us(ts)) AS latency_us
+          |FROM events GROUP BY 1""".stripMargin))),
+
+    // J1/J2 multi-way assembly + broadcast dim (revenue rollup).
+    "q_join_assembly" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = tbl(s, dir, "lineitem")
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(c("c_mktsegment").as("mktsegment"), date_trunc("month", o("o_orderdate")).as("month"))
+          .agg(
+            round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        """SELECT c.c_mktsegment AS mktsegment, date_trunc('month', o.o_orderdate) AS month,
+          |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |GROUP BY 1, 2""".stripMargin))),
+
+    // J7 semi-join (EXISTS) — wear-time-gate analog.
+    "q_semi_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = tbl(s, dir, "orders")
+        val big = tbl(s, dir, "lineitem").where(col("l_quantity") >= 49.0)
+        o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      },
+      Some(
+        """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)""".stripMargin))),
+
+    // J8 anti-join (NOT EXISTS) — eligibility exclusion analog.
+    "q_anti_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_acctbal FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin))),
+
+    // §2.9 unpivot: wide tier stats → long concept rows
+    // (reference gather → (entity, bucket, concept, nval_num)).
+    "q_unpivot_1d" -> ((
+      (s: SparkSession, dir: String) => {
+        val t1d = tierOut(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day"))
+        t1d.select(
+          col("conv_id"),
+          col("bucket_start"),
+          expr("stack(3, 'n_rows', cast(n_rows as double), 'sum_v', sum_v, 'mean_v', mean_v) as (metric, val)"))
+          .select(col("conv_id"), col("bucket_start"), col("metric"), col("val"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT user_id AS conv_id, date_trunc('day', ts) AS bucket_start,
+          |    count(*) AS n_rows, round(sum(value), 6) AS sum_v, round(avg(value), 6) AS mean_v
+          |  FROM events GROUP BY 1, 2)
+          |SELECT conv_id, bucket_start, 'n_rows' AS metric, n_rows::double AS val FROM d
+          |UNION ALL
+          |SELECT conv_id, bucket_start, 'sum_v' AS metric, sum_v AS val FROM d
+          |UNION ALL
+          |SELECT conv_id, bucket_start, 'mean_v' AS metric, mean_v AS val FROM d""".stripMargin)))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (k, (fn, _)) => k -> fn }
+
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (k, (_, Some(sql))) => k -> sql }
+}
