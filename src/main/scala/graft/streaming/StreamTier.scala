@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming construction of the 1m tier: readStream →
+  * watermarked event-time window aggregate → append sink.
+  *
+  * The reference is batch-only (SURVEY.md §2.10) — its "incremental" mode is
+  * re-running against a newer snapshot — so streaming is a stretch surface,
+  * designed so the STREAMING 1m tier and the BATCH 1m tier share one schema
+  * (graft.model.TierRow block columns): batch backfill and streaming
+  * head can write the same store.
+  *
+  * Semantics: watermark bounds state (late turns beyond `lateness` are
+  * dropped — the batch path instead sees them on the next snapshot); append
+  * mode emits a bucket only once its watermark passes, which matches tier
+  * immutability (a bucket, once written, is final until a rewrite action).
+  *
+  * Scale: state is per (conv_id, 1m window) — the same key the batch rollup
+  * shuffles on; mega-conversation skew hits the state store exactly like the
+  * batch hash-agg, so salting applies identically if needed (the partial
+  * blocks merge associatively either way).
+  */
+object StreamTier {
+
+  /** The streaming analog of Rollup.rollupRaw (same block schema). */
+  def tierAggregate(stream: DataFrame, value: Column, interval: String, lateness: String): DataFrame = {
+    val v = nanvl(value, lit(null))
+    val theta = ((hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts"))) / 3600.0) *
+      lit(2.0 * math.Pi / graft.operators.Rollup.CircularPeriodHours)
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(col("conv_id"), window(col("ts"), interval).as("w"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(v).as("n_vals"),
+        coalesce(sum(v), lit(0.0)).as("sum"),
+        coalesce(sum(v * v), lit(0.0)).as("sum_sq"),
+        min(v).as("min"),
+        max(v).as("max"),
+        coalesce(sum(sin(theta)), lit(0.0)).as("sum_sin"),
+        coalesce(sum(cos(theta)), lit(0.0)).as("sum_cos"))
+      .withColumn("bucket_start", col("w.start"))
+      .drop("w")
+  }
+
+  /** Stream a transcripts parquet directory into a 1m tier. Returns the
+    * writer; caller starts it with .start(path) or .toTable. */
+  def from(
+      spark: SparkSession,
+      inputPath: String,
+      value: Column,
+      interval: String = "1 minute",
+      lateness: String = "10 minutes"): DataStreamWriter[Row] = {
+    val schema = spark.read.parquet(inputPath).schema
+    val stream = spark.readStream.schema(schema).parquet(inputPath)
+    val withVal = stream.withColumn("text_len", length(col("text")).cast("double"))
+    tierAggregate(withVal, value, interval, lateness)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MetricRegistry
+import graft.multimodal.Multimodal
+import graft.operators.{GapFill, Rollup}
+import graft.sources.TranscriptGen
+
+/** Metric registry, gap-fill interpolation, multimodal plumbing, streaming
+  * tier = batch tier. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("metric registry: validates names, fans out value×metric, percent/na_sum semantics") {
+    intercept[IllegalArgumentException] { MetricRegistry.validate(Seq("mean", "bogus")) }
+    val df = Seq(
+      ("c1", 1.0, true), ("c1", 3.0, false), ("c1", 5.0, true),
+      ("c2", Double.NaN, false)).toDF("k", "v", "b")
+      .withColumn("v", nanvl($"v", lit(null))) // NaN→null pre-normalized
+    val vAgg = MetricRegistry.summarize(df, Seq($"k"),
+      Seq("v" -> $"v"), Seq("mean", "median", "na_sum", "count"))
+    val bAgg = MetricRegistry.summarize(df, Seq($"k"), Seq("b" -> $"b"), Seq("percent"))
+    val out = vAgg.join(bAgg, "k").collect().map(r => r.getAs[String]("k") -> r).toMap
+    val c1 = out("c1")
+    assert(c1.getAs[Double]("v_mean") == 3.0)
+    assert(c1.getAs[Double]("v_median") == 3.0)
+    assert(c1.getAs[Double]("v_na_sum") == 9.0)
+    assert(math.abs(c1.getAs[Double]("b_percent") - 200.0 / 3) < 1e-9)
+    val c2 = out("c2")
+    assert(c2.isNullAt(c2.fieldIndex("v_na_sum")), "all-null group → null na_sum (A8)")
+  }
+
+  test("metric registry circular metrics match Rollup block finalizers") {
+    val df = Seq(("c1", 23.5), ("c1", 0.5)).toDF("k", "tod")
+    val r = MetricRegistry.summarize(df, Seq($"k"), Seq("tod" -> $"tod"),
+      Seq("circular_mean", "circular_sd")).head()
+    val m = r.getAs[Double]("tod_circular_mean")
+    assert(math.abs(if (m > 12) m - 24 else m) < 1e-9)
+  }
+
+  test("concept-row unpivot produces (concept, nval_num) long rows") {
+    val df = Seq(("c1", 2.0)).toDF("k", "v")
+    val wide = MetricRegistry.summarize(df, Seq($"k"), Seq("v" -> $"v"), Seq("mean", "count"))
+    val long = MetricRegistry.toConceptRows(wide, Seq("k"), "summary:daily:")
+    val got = long.collect().map(r => r.getAs[String]("concept") -> r.getAs[Double]("nval_num")).toMap
+    assert(got == Map("summary:daily:v_mean" -> 2.0, "summary:daily:v_count" -> 1.0))
+  }
+
+  test("gap-fill linear interpolation: interior lerp, edge LOCF/NOCB") {
+    val tier = Seq(
+      ("c1", "2025-01-01 00:00:00", Some(10.0)),
+      ("c1", "2025-01-01 01:00:00", None),
+      ("c1", "2025-01-01 02:00:00", None),
+      ("c1", "2025-01-01 03:00:00", Some(40.0)))
+      .toDF("conv_id", "tss", "m")
+      .select($"conv_id", to_timestamp($"tss").as("bucket_start"),
+        $"m".cast("double").as("m"), lit(1L).as("n_rows"))
+    val got = GapFill.interpolated(tier, "m")
+      .orderBy("bucket_start").select("m_interp").as[Double].collect()
+    assert(got.toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+  }
+
+  test("multimodal: features are deterministic, frames bounded, bytes pruned from metadata scan") {
+    val media = Multimodal.synthMedia(spark, 200L).cache()
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.feature.length == 16))
+    val frames = Multimodal.sampleFrames(media, everyMs = 10000L)
+    val perMedia = frames.groupBy("media_id").count().agg(max("count")).head().getLong(0)
+    assert(perMedia <= 6, "frame fan-out bounded by duration/everyMs")
+    val stats = Multimodal.metadataStats(media)
+    assert(stats.count() == 3)
+  }
+
+  test("streaming 1m tier equals batch 1m tier (shared schema + semantics)") {
+    import graft.streaming.StreamTier
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    val turns = TranscriptGen.turns(spark, nConvs = 10L, withDuplicates = false).toDF
+    turns.write.mode("overwrite").parquet(dir)
+
+    val q = StreamTier.from(spark, dir, col("text_len"))
+      .format("memory").queryName("t1m_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("t1m_stream")
+      .select($"conv_id", $"bucket_start", $"n_rows", round($"sum", 6).as("s"))
+      .orderBy("conv_id", "bucket_start").collect()
+    val batch = Rollup.rollupRaw(
+      turns.withColumn("text_len", length($"text").cast("double")),
+      $"conv_id", $"ts", $"text_len", "1 minute")
+      .select($"conv_id", $"bucket_start", $"n_rows", round($"sum", 6).as("s"))
+      .orderBy("conv_id", "bucket_start").collect()
+    // append mode emits only buckets whose watermark has passed; with
+    // AvailableNow + processAllAvailable the final watermark covers all but
+    // the trailing lateness window — compare the emitted prefix.
+    assert(streamed.nonEmpty)
+    val batchMap = batch.map(r => (r.getString(0), r.get(1)) -> r).toMap
+    streamed.foreach { r =>
+      val b = batchMap((r.getString(0), r.get(1)))
+      assert(b.getLong(2) == r.getLong(2) && b.getDouble(3) == r.getDouble(3))
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CheckpointedRollup, Rollup}
+import graft.sources.{IceTable, TranscriptGen}
+
+/** Snapshot lineage, stat pruning, retention expiry, and crash-resume
+  * (SURVEY.md §5.6). */
+class IceTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val turnsDf =
+    TranscriptGen.turns(spark, nConvs = 20L, withDuplicates = false).toDF.cache()
+
+  test("append creates snapshots with lineage and accurate row metrics") {
+    val t = IceTable(tmp("ice"))
+    val half1 = turnsDf.where($"turn_idx" % 2 === 0)
+    val half2 = turnsDf.where($"turn_idx" % 2 === 1)
+    val id1 = t.append(half1, "ts")
+    val id2 = t.append(half2, "ts")
+    assert(id1 == 1 && id2 == 2)
+    assert(t.current.get.parentId == 1 && t.current.get.op == "append")
+    assert(t.metrics._1 == turnsDf.count())
+    assert(t.scan(spark).count() == turnsDf.count())
+    // older snapshot still readable (time travel by id)
+    assert(t.snapshot(1).get.files.map(_.rows).sum == half1.count())
+  }
+
+  test("scan prunes files by manifest min/max stats") {
+    val t = IceTable(tmp("ice"))
+    // two appends with disjoint time ranges → disjoint file stats
+    val early = turnsDf.where($"ts" < "2025-01-15")
+    val late = turnsDf.where($"ts" >= "2025-01-15")
+    t.append(early, "ts")
+    t.append(late, "ts")
+    val cutoffUs = java.sql.Timestamp.valueOf("2025-01-15 00:00:00").getTime * 1000
+    val pruned = t.scan(spark, loUs = cutoffUs)
+    // row-correct
+    assert(pruned.where($"ts" >= "2025-01-15").count() == late.count())
+    // file-correct: pruned scan must read strictly fewer files than full scan
+    assert(pruned.inputFiles.length < t.scan(spark).inputFiles.length)
+  }
+
+  test("expireOlderThan drops aged files metadata-only and keeps lineage") {
+    val t = IceTable(tmp("ice"))
+    val early = turnsDf.where($"ts" < "2025-01-15")
+    val late = turnsDf.where($"ts" >= "2025-01-15")
+    t.append(early, "ts")
+    t.append(late, "ts")
+    val cutoffUs = java.sql.Timestamp.valueOf("2025-01-15 00:00:00").getTime * 1000
+    val id = t.expireOlderThan(cutoffUs)
+    assert(t.current.get.op == "expire" && t.current.get.id == id)
+    assert(t.scan(spark).count() == late.count())
+    // expired snapshot still on disk (audit) — time travel sees old files
+    assert(t.snapshot(2).get.files.map(_.rows).sum == early.count() + late.count())
+  }
+
+  test("checkpointed rollup resumes after crash with identical output") {
+    val t = IceTable(tmp("ice"))
+    t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")
+
+    // reference output: single uninterrupted run
+    val refDir = tmp("tier-ref")
+    CheckpointedRollup.run(spark, t, refDir, col("text_len"))
+
+    // crashing run: fails after 3 units, then resumes
+    val crashDir = tmp("tier-crash")
+    intercept[RuntimeException] {
+      CheckpointedRollup.run(spark, t, crashDir, col("text_len"), failAfter = Some(3))
+    }
+    val resumed = CheckpointedRollup.run(spark, t, crashDir, col("text_len"))
+    assert(resumed.count(_.skipped) == 3, "exactly the 3 completed units must be skipped")
+
+    val a = spark.read.parquet(s"$refDir/day=*").orderBy("conv_id", "bucket_start").collect()
+    val b = spark.read.parquet(s"$crashDir/day=*").orderBy("conv_id", "bucket_start").collect()
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
+  test("new source snapshot invalidates checkpoints (lineage check)") {
+    val t = IceTable(tmp("ice"))
+    t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")
+    val outDir = tmp("tier")
+    CheckpointedRollup.run(spark, t, outDir, col("text_len"))
+    val again = CheckpointedRollup.run(spark, t, outDir, col("text_len"))
+    assert(again.forall(_.skipped), "same snapshot → all units skipped")
+    // append more data → snapshot id changes → all days recompute
+    t.append(turnsDf.limit(50).withColumn("text_len", length($"text").cast("double")), "ts")
+    val after = CheckpointedRollup.run(spark, t, outDir, col("text_len"))
+    assert(after.forall(!_.skipped), "new snapshot id must invalidate markers")
+  }
+}

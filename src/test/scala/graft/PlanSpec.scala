@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rollup
+
+/** Physical-plan shape assertions: the scale-readiness properties SURVEY.md
+  * §4 claims (pushdown, pruning, broadcast, partial aggregation, codegen)
+  * must be visible in the executed plan, not just intended. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter on raw scan is pushed to parquet (PushedFilters)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet").where(col("event_type") === "purchase")
+    val p = plan(Rollup.rollupRaw(ev, col("user_id"), col("ts"), col("value"), "1 minute"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("EqualTo(event_type,purchase)"), pushed)
+  }
+
+  test("column pruning: token stats scan reads only (doc_id, text)") {
+    val q = Queries.queries("q_token_stats")(spark, dir)
+    val p = plan(q)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
+  test("join assembly broadcasts the customer dim") {
+    val p = plan(Queries.queries("q_join_assembly")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("tier rollup does map-side partial aggregation (two HashAggregates, one Exchange)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(Rollup.rollupRaw(ev, col("user_id"), col("ts"), col("value"), "1 hour"))
+    val nAgg = p.linesIterator.count(l => l.contains("HashAggregate"))
+    val nExch = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(nAgg == 2, s"expected partial+final HashAggregate, got $nAgg")
+    assert(nExch == 1, s"expected exactly one shuffle, got $nExch")
+  }
+
+  test("cascade adds no extra shuffle per tier (merge is one Exchange each)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val t1m = Rollup.rollupRaw(ev, col("user_id"), col("ts"), col("value"), "1 minute")
+    val t1h = Rollup.rollupTier(t1m, "1 hour")
+    val p = plan(t1h)
+    val nExch = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(nExch == 2, s"raw→1m→1h must shuffle exactly twice, got $nExch\n${p.take(3000)}")
+  }
+
+  test("rollup stays inside whole-stage codegen (no UDFs in the hot path)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = Rollup.rollupRaw(ev, col("user_id"), col("ts"), col("value"), "1 minute")
+    df.collect() // execute THIS plan so AQE finalizes and codegen spans appear
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"expected codegen stage markers in final plan:\n${p.take(2000)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "hot path must be UDF-free")
+  }
+
+  test("gap-fill grid join co-partitions (no redundant exchange between join and window)") {
+    val q = Queries.queries("q_gapfill_locf_1h")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("Window"), p.take(1500))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TimeBuckets
+import graft.operators.{Episodes, Sliding}
+
+/** Hand-computed reference-semantics fixtures (FIXTURES.md §2): the tricky
+  * daily-measures / sleepSD behaviors transplanted onto the generic
+  * operators. Citations are to /root/reference/ scripts. */
+class ReferenceParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (conv, log, idx, stage) — one 'episode detail' sequence
+  // stages: w=wake, l=light, r=rem
+  private def seqDf(stages: String) =
+    stages.zipWithIndex.map { case (c, i) => ("c1", "e1", i, c.toString) }
+      .toDF("conv_id", "log_id", "idx", "v")
+      .withColumn("ts", to_timestamp(lit("2025-01-01 00:00:00")) + expr("make_interval(0,0,0,0,0,0,idx*30)"))
+
+  test("W1 NumAwakenings: transitions into wake, trailing wake excluded (daily-measures.R:110-125)") {
+    // l l w l l w w  → wake runs at idx2 and idx5-6; trailing run (5,6) excluded → 1
+    val got = Episodes.transitionsInto(seqDf("llwllww"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "w")
+    assert(got.head().getAs[Long]("n_transitions") == 1L)
+    // l w l w l → two wake runs, none trailing → 2
+    val got2 = Episodes.transitionsInto(seqDf("lwlwl"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "w")
+    assert(got2.head().getAs[Long]("n_transitions") == 2L)
+    // all wake → no transitions (group absent)
+    assert(Episodes.transitionsInto(seqDf("www"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "w").count() == 0)
+  }
+
+  test("W2 REM fragmentation numerator: rem→non-rem transitions (daily-measures.R:166-181)") {
+    // r r l r w → rem runs end at idx1→l and idx3→w → 2
+    val got = Episodes.transitionsOutOf(seqDf("rrlrw"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "r")
+    assert(got.head().getAs[Long]("n_transitions") == 2L)
+  }
+
+  test("W4 REM-onset latency: first non-wake to first rem, in seconds (daily-measures.R:127-164)") {
+    // w w l l r at 30s cadence: first non-wake = idx2 (60s), first rem = idx4 (120s) → 60s
+    val got = Episodes.firstMatchLatency(seqDf("wwllr"), Seq($"conv_id", $"log_id"), $"ts",
+      from = $"v" =!= "w", until = $"v" === "r")
+    assert(got.head().getAs[Double]("latency_secs") == 60.0)
+    // no rem → null
+    val none = Episodes.firstMatchLatency(seqDf("wwll"), Seq($"conv_id", $"log_id"), $"ts",
+      from = $"v" =!= "w", until = $"v" === "r").head()
+    assert(none.isNullAt(none.fieldIndex("latency_secs")))
+  }
+
+  test("run-id assignment segments maximal equal-value runs") {
+    val runs = Episodes.withRunId(seqDf("llwllww"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v")
+      .select($"idx", $"v", $"run_key").orderBy("idx").collect()
+    val keys = runs.map(r => (r.getString(1), r.getInt(2) /* run_key as int? */)).toSeq
+    val distinctRuns = runs.map(r => (r.getString(1), r.get(2))).distinct
+    assert(distinctRuns.length == 4, s"llw|ll|ww → 4 runs, got $distinctRuns")
+  }
+
+  test("F1 sliding 3-bucket SD + completeness: incomplete head windows dropped (sleepSD.R:66-94)") {
+    // weekly buckets with one missing week: completeness must drop the
+    // window that spans the gap (range semantics, not rows)
+    val weeks = Seq(
+      ("c1", "2025-01-06", 1.0), ("c1", "2025-01-13", 2.0), ("c1", "2025-01-20", 3.0),
+      /* gap 01-27 */ ("c1", "2025-02-03", 4.0), ("c1", "2025-02-10", 5.0), ("c1", "2025-02-17", 6.0))
+      .toDF("conv_id", "wk", "m").withColumn("wk", to_date($"wk"))
+    val got = Sliding.slidingStats(weeks, $"conv_id", $"wk", 604800L, 3, Seq("m" -> $"m"))
+      .select($"wk".cast("string"), $"m_sd", $"m_n").orderBy("wk").collect()
+    // complete windows: [06,13,20] ending 01-20 and [03,10,17] ending 02-17
+    assert(got.map(_.getString(0)).toSeq == Seq("2025-01-20", "2025-02-17"))
+    assert(math.abs(got.head.getAs[Double]("m_sd") - 1.0) < 1e-12) // sd(1,2,3)=1
+  }
+
+  test("P7 retention: calendar-month arithmetic incl. end-of-month clamp (sleepSD.R:216)") {
+    val df = Seq(
+      ("2024-11-30 12:00:00", "2025-02-27 00:00:00"), // 3mo after Nov30 = Feb28(clamp Feb30→28) → keep? 27 Feb < 28 Feb → drop
+      ("2024-11-30 12:00:00", "2025-03-01 00:00:00"))
+      .toDF("anchor", "ts")
+      .select(to_timestamp($"anchor").as("anchor"), to_timestamp($"ts").as("ts"))
+    val kept = df.where(TimeBuckets.afterRetention($"ts", $"anchor", 3)).collect()
+    assert(kept.length == 1 && kept.head.getAs[java.sql.Timestamp]("ts").toString.startsWith("2025-03-01"))
+  }
+
+  test("D2 keep-last per tick: overlapping episodes resolve to latest source (functions/sri.R:37-39)") {
+    import org.apache.spark.sql.expressions.Window
+    val ticks = Seq(
+      ("c1", "2025-01-01 00:00:00", 1, "asleep"),
+      ("c1", "2025-01-01 00:00:00", 2, "wake"), // later episode wins
+      ("c1", "2025-01-01 00:00:30", 1, "asleep"))
+      .toDF("conv_id", "ts", "src_order", "v")
+    val w = Window.partitionBy($"conv_id", $"ts").orderBy($"src_order".desc)
+    val got = ticks.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .orderBy("ts").select("v").as[String].collect()
+    assert(got.toSeq == Seq("wake", "asleep"))
+  }
+}
