@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions, TimeBuckets}
-import graft.operators.{Dedup, Episodes, GapFill, Rollup, Similarity, Skew, Sliding}
+import graft.functions.{MetricRegistry, Scalars, TextFunctions, TimeBuckets}
+import graft.operators.{Dedup, Episodes, GapFill, Rollup, Similarity, Skew, Sliding, Sri}
 
 /** Driver-facing query catalog. Each entry exercises one engine operator
   * from SURVEY.md §2 over the driver's testdata tables (events ≙ the
@@ -174,6 +174,77 @@ object Queries {
           |WINDOW w3 AS (PARTITION BY conv_id ORDER BY bucket_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
           |       wo AS (PARTITION BY conv_id ORDER BY bucket_start)
           |QUALIFY lag(bucket_start, 2) OVER wo = bucket_start - INTERVAL 2 DAY""".stripMargin))),
+
+    // A15 full SRI epoch-grid pipeline: dense 5-min tick grid per entity,
+    // activity status, 1-day (288-tick) lag agreement (functions/sri.R).
+    "q_sri_grid" -> ((
+      (s: SparkSession, dir: String) =>
+        Sri.activityRegularity(events(s, dir), col("user_id"), col("ts"), tickSeconds = 300, lagTicks = 288)
+          .select(col("conv_id"), round(col("sri"), 6).as("sri")),
+      Some(
+        """WITH act AS (
+          |  SELECT user_id, (epoch_us(ts) // 300000000) AS tick FROM events GROUP BY 1, 2),
+          |span AS (SELECT user_id, min(tick) AS lo, max(tick) AS hi FROM act GROUP BY 1),
+          |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS tick FROM span),
+          |st AS (
+          |  SELECT g.user_id, g.tick, CASE WHEN a.tick IS NULL THEN 0 ELSE 1 END AS status
+          |  FROM grid g LEFT JOIN act a ON a.user_id = g.user_id AND a.tick = g.tick),
+          |lg AS (
+          |  SELECT user_id, status,
+          |    lag(status, 288) OVER (PARTITION BY user_id ORDER BY tick) AS prev
+          |  FROM st)
+          |SELECT user_id AS conv_id, round(200.0 * avg((status = prev)::int) - 100.0, 6) AS sri
+          |FROM lg WHERE prev IS NOT NULL GROUP BY 1""".stripMargin))),
+
+    // A7 ratio-of-counts percent + Between8and2 boolean
+    // (percentSleepStartIn8pm2am.R:29,38-47) via the metric registry.
+    "q_pct_8pm2am" -> ((
+      (s: SparkSession, dir: String) =>
+        MetricRegistry.summarize(
+          events(s, dir).withColumn("b", Scalars.between8pm2am(col("ts"))),
+          Seq(col("user_id").as("conv_id")), Seq("b" -> col("b")), Seq("percent"))
+          .select(col("conv_id"), round(col("b_percent"), 6).as("pct_8pm2am")),
+      Some(
+        s"""SELECT user_id AS conv_id,
+           |  round(sum(($todHoursDuck >= 20.0 OR $todHoursDuck <= 2.0)::int) * 100.0 / count(*), 6) AS pct_8pm2am
+           |FROM events GROUP BY 1""".stripMargin))),
+
+    // P5 QC range rules → NULL (row kept) + NA-skipping aggregate
+    // (weekly-cardio-measures.R:318-330).
+    "q_qc_range" -> ((
+      (s: SparkSession, dir: String) => {
+        val v = Scalars.qcRange(col("value"), 10.0, 90.0)
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(v).as("n_in_range"), round(avg(v), 6).as("mean_in_range"), count(lit(1)).as("n_rows"))
+      },
+      Some(
+        """SELECT event_type,
+          |  count(CASE WHEN value BETWEEN 10.0 AND 90.0 THEN value END) AS n_in_range,
+          |  round(avg(CASE WHEN value BETWEEN 10.0 AND 90.0 THEN value END), 6) AS mean_in_range,
+          |  count(*) AS n_rows
+          |FROM events GROUP BY 1""".stripMargin))),
+
+    // CardioScore range-string → scalar mean (weekly-cardio-measures.R:13-22):
+    // bucket n_chars into "lo-hi" strings, then rangeMean recovers lo+49.5.
+    "q_range_mean" -> ((
+      (s: SparkSession, dir: String) => {
+        val bucket = (col("n_chars") / 100).cast("long") * 100
+        val rng = concat(bucket.cast("string"), lit("-"), (bucket + 99).cast("string"))
+        tbl(s, dir, "documents")
+          .select(col("lang"), Scalars.rangeMean(rng).as("rm"))
+          .groupBy(col("lang"))
+          .agg(round(avg(col("rm")), 6).as("mean_range_mid"), count(lit(1)).as("n_docs"))
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT lang,
+          |    ((n_chars // 100) * 100)::varchar || '-' || ((n_chars // 100) * 100 + 99)::varchar AS rng
+          |  FROM documents)
+          |SELECT lang,
+          |  round(avg((string_split(rng, '-')[1]::double + string_split(rng, '-')[2]::double) / 2.0), 6) AS mean_range_mid,
+          |  count(*) AS n_docs
+          |FROM r GROUP BY 1""".stripMargin))),
 
     // W6/A15 SRI-style lag-agreement score (reference 2880-epoch self-lag).
     "q_sri_lag10" -> ((
@@ -469,15 +540,19 @@ object Queries {
           |SELECT doc_id, round((len_score + diversity + punct_penalty + stop_score) / 4.0, 6) AS quality
           |FROM m""".stripMargin))),
 
-    // Character-3-gram Jaccard near-dup, blocked by `source` (exact within
-    // block — the blocking pattern that scales; LSH variant below).
+    // Character-3-gram Jaccard near-dup, blocked by (source, length band)
+    // (exact within block — the blocking pattern that scales: near-dups
+    // must have similar length, so a 200-char band prunes ~4× the pairs;
+    // LSH variant below).
     "q_ngram_jaccard_block" -> ((
       (s: SparkSession, dir: String) => {
         val g = tbl(s, dir, "documents")
-          .select(col("doc_id"), col("source"), Dedup.ngramSet(lower(col("text")), 3).as("ng"))
-        val a = g.select(col("source"), col("doc_id").as("id_a"), col("ng").as("ng_a"))
-        val b = g.select(col("source"), col("doc_id").as("id_b"), col("ng").as("ng_b"))
-        a.join(b, Seq("source"))
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") / 200).cast("long").as("len_band"),
+            Dedup.ngramSet(lower(col("text")), 3).as("ng"))
+        val a = g.select(col("source"), col("len_band"), col("doc_id").as("id_a"), col("ng").as("ng_a"))
+        val b = g.select(col("source"), col("len_band"), col("doc_id").as("id_b"), col("ng").as("ng_b"))
+        a.join(b, Seq("source", "len_band"))
           .where(col("id_a") < col("id_b"))
           .select(col("source"), col("id_a"), col("id_b"),
             round(Dedup.jaccard(col("ng_a"), col("ng_b")), 6).as("jaccard"))
@@ -485,12 +560,12 @@ object Queries {
       },
       Some(
         """WITH g AS (
-          |  SELECT doc_id, source,
+          |  SELECT doc_id, source, n_chars // 200 AS len_band,
           |    list_distinct([substr(lower(text), i, 3) for i in generate_series(1, greatest(length(text)-2, 1))]) AS ng
           |  FROM documents)
           |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
           |  round(len(list_intersect(a.ng, b.ng))::double / len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
-          |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+          |FROM g a JOIN g b ON a.source = b.source AND a.len_band = b.len_band AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.ng, b.ng))::double / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.7""".stripMargin))),
 
     // Brute-force cosine top-10 vs the vec_id=0 query vector.
@@ -510,11 +585,12 @@ object Queries {
           |SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS sim
           |FROM flat GROUP BY 1 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))),
 
-    // MinHash+LSH near-dup pairs — LSH is probabilistic (recall <1), so no
-    // SQL oracle; exact-recall property is covered in DedupSpec.
+    // MinHash+LSH near-dup pairs (word-3-gram shingles) — LSH is
+    // probabilistic (recall <1), so no SQL oracle; recall is covered in
+    // DedupSpec against planted dups.
     "q_minhash_lsh" -> ((
       (s: SparkSession, dir: String) =>
-        Dedup.minhashLshPairs(tbl(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.7),
+        Dedup.minhashLshPairs(tbl(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.35),
       None)),
 
     // SimHash near-dup pairs (rows-only check; semantics in DedupSpec).

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar column semantics lifted from the reference scripts — all pure
+  * `Column` expressions (the reference used rowwise() R closures only
+  * because R; none of these needs a UDF, SURVEY.md §2.9/§2.11). */
+object Scalars {
+
+  /** P4: keep rows where ANY of the columns is a non-empty string
+    * (/root/reference/scripts/daily-measures.R:113,132,169). */
+  def anyNonEmpty(cols: Seq[Column]): Column =
+    cols.map(c => c.isNotNull && c =!= "").reduce(_ || _)
+
+  /** P5: out-of-range values become NULL, row kept (QC rules,
+    * /root/reference/scripts/weekly-cardio-measures.R:318-330). */
+  def qcRange(c: Column, lo: Double, hi: Double): Column =
+    when(c >= lo && c <= hi, c)
+
+  /** P8: conditional masking — value only when the flag holds
+    * (/root/reference/scripts/daily-measures.R:64-65). */
+  def maskUnless(c: Column, flag: Column): Column = when(flag, c)
+
+  /** CardioScore "30-34" range string → mean of endpoints
+    * (/root/reference/scripts/weekly-cardio-measures.R:13-22). Single
+    * values ("42") pass through as doubles. */
+  def rangeMean(c: Column): Column = {
+    val parts = split(c, "-")
+    when(size(parts) === 2,
+      (element_at(parts, 1).cast("double") + element_at(parts, 2).cast("double")) / 2.0)
+      .otherwise(c.cast("double"))
+  }
+
+  /** Sleep-efficiency expression, branch-heavy but UDF-free
+    * (/root/reference/scripts/daily-measures.R:20-49): classic =
+    * (asleep+restless)/(awake+asleep+restless); stages =
+    * (light+deep+rem)/(light+deep+rem+wake); rounded ×100. */
+  def efficiency(
+      typ: Column,
+      awake: Column, asleep: Column, restless: Column,
+      light: Column, deep: Column, rem: Column, wake: Column): Column = {
+    val classic = (asleep + restless) / (awake + asleep + restless)
+    val stages = (light + deep + rem) / (light + deep + rem + wake)
+    round(lit(100.0) * when(typ === "classic", classic).when(typ === "stages", stages), 0)
+  }
+
+  /** Between8and2: time-of-day in [20:00, 24:00) ∪ [00:00, 02:00]
+    * (/root/reference/scripts/percentSleepStartIn8pm2am.R:29). */
+  def between8pm2am(ts: Column): Column = {
+    val h = graft.operators.Rollup.todHours(ts)
+    h >= 20.0 || h <= 2.0
+  }
+
+  /** Weekday label (reference wday(label=TRUE),
+    * /root/reference/scripts/daily-measures.R:234). */
+  def weekdayLabel(d: Column): Column = date_format(d, "EEEE")
+
+  /** P9: NaN→NULL across the given numeric columns, returning the exprs
+    * (/root/reference/scripts/daily-measures.R:225). */
+  def nanToNull(c: Column): Column = nanvl(c, lit(null))
+}

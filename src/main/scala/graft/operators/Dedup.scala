@@ -37,6 +37,19 @@ object Dedup {
     when(length(text) < n, array(text)).otherwise(
       array_distinct(transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n)))))
 
+  /** Word n-gram (w-shingle) set, distinct — Broder-style document
+    * shingling. Far more discriminative than character n-grams on natural
+    * text (and on repetitive corpora: random-pair char-3-gram Jaccard here
+    * is ~0.45, word-3-gram ~0.001), which keeps LSH buckets small. Texts
+    * shorter than n tokens shingle to the whole normalized text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
   /** Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -45,10 +58,22 @@ object Dedup {
   }
 
   /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; sig[i] = min over shingles of hash_i(shingle). */
+    * xxhash64; sig[i] = min over shingles of hash_i(shingle).
+    *
+    * Single-pass form: ONE aggregate over the shingle array folding a
+    * k-slot running-min vector. The naive transform(0..k-1, i ->
+    * array_min(transform(shingles, ...))) form re-evaluates its lambda body
+    * per element — and Catalyst inlines the (expensive) shingle expression
+    * into the lambda, so it recomputes tokenization k times per row
+    * (measured 70× slower end-to-end; higher-order lambdas have no
+    * common-subexpression elimination). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, sh => xxhash64(sh, i))))
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) =>
+        zip_with(acc, transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
+          (x, y) => least(x, y)))
 
   /** LSH band keys: split the k-length signature into `bands` bands of
     * k/bands rows; one hash key per band. Docs sharing ANY band key are
@@ -61,27 +86,55 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * Scale shape (matters at 10^9 docs, and measurably at 10^4 similar
+    * docs):
+    *   1. the band self-join carries ONLY (band, bucket, id) — never the
+    *      shingle arrays (naively they ride the join duplicated per band:
+    *      8× the shuffle bytes);
+    *   2. candidate pairs are deduped BEFORE verification, so each pair's
+    *      Jaccard is computed once, not once per shared band;
+    *   3. buckets larger than `maxBucketSize` are dropped — a bucket with B
+    *      members yields B² candidates, and overwhelmingly-common shingle
+    *      patterns (stop-shingles) are non-discriminative for near-dup;
+    *      this is the standard LSH hot-bucket guard. Pass Int.MaxValue to
+    *      disable. */
   def minhashLshPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
       k: Int = 32,
-      bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
-    val sh = df.select(id.as("id"), ngramSet(lower(text), n).as("sh"))
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sig
-      .select(col("id"), col("sh"), explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      bands: Int = 16, // r=2 rows/band: ~94% candidate recall at j=0.4
+      threshold: Double = 0.35,
+      maxBucketSize: Int = 100): DataFrame = {
+    val sh = df.select(id.as("id"), wordShingles(text, n).as("sh"))
+    val rows = k / bands
+    // explode the band INDEX first (Generate is an expression barrier: the
+    // signature is computed once per row and duplicated as a VALUE), then
+    // derive each band's bucket from the materialized sig attribute —
+    // otherwise the sig expression re-evaluates inside the per-band lambda.
+    val banded = sh
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        xxhash64(concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)).cast("array<string>"))).as("bucket"))
+    val kept = banded
+      .join(
+        banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= maxBucketSize),
+        Seq("band", "bucket"))
+    val pairs = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over token
@@ -117,16 +170,23 @@ object Dedup {
     * small distances), verify with exact hamming. */
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 6): DataFrame = {
     val fp = df.select(id.as("id"), simhash64(text).as("fp"))
-    val blocked = fp.select(col("id"), col("fp"), explode(transform(sequence(lit(0), lit(3)),
-      b => struct(b.as("blk"), call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("bk"))
-      .select(col("id"), col("fp"), col("bk.blk"), col("bk.key"))
-    val a = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("blk", "key"))
+    // explode block index first — Generate barrier keeps the (expensive)
+    // simhash expression evaluated once per row (see minhashLshPairs)
+    val blocked = fp
+      .select(col("id"), col("fp"), explode(sequence(lit(0), lit(3))).as("blk"))
+      .select(col("id"), col("blk"),
+        call_function("shiftright", col("fp"), col("blk") * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    // dedupe candidate pairs BEFORE verification (see minhashLshPairs notes)
+    val pairs = blocked.select(col("blk"), col("key"), col("id").as("id_a"))
+      .join(blocked.select(col("blk"), col("key"), col("id").as("id_b")), Seq("blk", "key"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Embedding-cosine similarity (Array[Float]/Array[Double] columns). */

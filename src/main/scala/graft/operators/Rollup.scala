@@ -154,6 +154,17 @@ object Rollup {
     when(n > 0, sqrt(lit(-2.0) * log(rClamped)) * lit(CircularPeriodHours / (2.0 * math.Pi)))
   }
 
+  /** Typed surface: Dataset[Turn] → Dataset[TierRow] per tier (the
+    * north-star "typed Dataset window aggregates" API; DataFrame methods
+    * remain the dynamic-schema form). */
+  def rollupTurns(
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+      measure: Column,
+      interval: String): org.apache.spark.sql.Dataset[graft.model.TierRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[graft.model.TierRow]
+    rollupRaw(turns.toDF, col("conv_id"), col("ts"), measure, interval).as[graft.model.TierRow]
+  }
+
   /** Full cascade from raw: returns (tier1m, tier1h, tier1d). Callers should
     * persist tier1m if materializing all three. */
   def cascade(

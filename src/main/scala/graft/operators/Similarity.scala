@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between an embedding column and a literal query
-    * vector (broadcast as a column literal). */
+    * vector (broadcast as a column literal). Uses the native codegen'd
+    * CosineSim expression (bit-identical to Dedup.cosine — CosineSimSpec). */
   def cosineToQuery(emb: Column, query: Seq[Float]): Column =
-    Dedup.cosine(emb, typedlit(query))
+    graft.plans.CosineSim.cosineSim(emb, typedlit(query))
 
   /** Exact brute-force top-k by cosine against one query vector. */
   def bruteForceTopK(df: DataFrame, id: Column, emb: Column, query: Seq[Float], k: Int): DataFrame =
@@ -68,16 +69,27 @@ object Similarity {
       nPlanes: Int = 16,
       bands: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = df.select(id.as("id"), emb.as("e"), rhpSignature(emb, nPlanes).as("sig"))
-    val banded = sig
-      .select(col("id"), col("e"), explode(rhpBandKeys(col("sig"), nPlanes, bands)).as("bk"))
-      .select(col("id"), col("e"), col("bk.band"), col("bk.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("vec_id"), col("e").as("e_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("neighbour_id"), col("e").as("e_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    val vecs = df.select(id.as("id"), emb.as("e"))
+    val rows = nPlanes / bands
+    // band-index explode first: Generate barrier keeps the signature
+    // evaluated once per row (see Dedup.minhashLshPairs scaladoc)
+    val banded = vecs
+      .select(col("id"), rhpSignature(col("e"), nPlanes).as("sig"))
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        xxhash64(concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)).cast("array<string>"))).as("bucket"))
+    // candidate ids only through the band join (embeddings don't ride the
+    // band fan-out), pair-dedup before the exact-cosine verify
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("vec_id"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("neighbour_id")), Seq("band", "bucket"))
       .where(col("vec_id") =!= col("neighbour_id"))
-      .select(col("vec_id"), col("neighbour_id"), Dedup.cosine(col("e_a"), col("e_b")).as("sim"))
+      .select(col("vec_id"), col("neighbour_id"))
       .distinct()
+    val cand = pairs
+      .join(vecs.select(col("id").as("vec_id"), col("e").as("e_a")), Seq("vec_id"))
+      .join(vecs.select(col("id").as("neighbour_id"), col("e").as("e_b")), Seq("neighbour_id"))
+      .select(col("vec_id"), col("neighbour_id"),
+        graft.plans.CosineSim.cosineSim(col("e_a"), col("e_b")).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbour_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -123,6 +123,30 @@ final class IceTable(val root: String) {
     id
   }
 
+  /** Compaction rewrite: coalesce the current file set into ~`targetFiles`
+    * new data files and commit as an op="rewrite" snapshot (Iceberg
+    * rewriteDataFiles analog). Old files stay on disk for time travel;
+    * `expireOlderThan`-style manifest pruning governs logical visibility.
+    * Rows and their `tsCol` stats are preserved exactly. */
+  def rewriteCompact(spark: SparkSession, tsCol: String, targetFiles: Int = 1): Long = {
+    val df = scan(spark).coalesce(math.max(targetFiles, 1))
+    val id = currentSnapshotId + 1
+    val dir = Paths.get(root, "data", f"snap-$id%05d").toString
+    df.write.mode("errorifexists").parquet(dir)
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(unix_micros(col(tsCol).cast("timestamp"))).as("lo"),
+        max(unix_micros(col(tsCol).cast("timestamp"))).as("hi"))
+      .collect()
+    val entries = stats.map { r =>
+      val p = Paths.get(new java.net.URI(r.getAs[String]("f")).getPath)
+      FileEntry(p.toString, r.getAs[Long]("rows"), Files.size(p), r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+    }.toSeq
+    writeSnapshot(Snapshot(id, id - 1, "rewrite", entries))
+    id
+  }
+
   /** Total (rows, bytes) in the current snapshot — table-level metrics. */
   def metrics: (Long, Long) = {
     val fs = current.map(_.files).getOrElse(Nil)

@@ -43,7 +43,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs.where(length($"text") > 0), $"doc_id", $"text",
-      threshold = 0.6).collect()
+      threshold = 0.35).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((0L, 2L)))

@@ -60,6 +60,21 @@ class IceTableSpec extends SparkSpec {
     assert(t.snapshot(2).get.files.map(_.rows).sum == early.count() + late.count())
   }
 
+  test("rewriteCompact coalesces files, preserves rows, keeps time travel") {
+    val t = IceTable(tmp("ice"))
+    t.append(turnsDf.where($"turn_idx" % 2 === 0), "ts")
+    t.append(turnsDf.where($"turn_idx" % 2 === 1), "ts")
+    val before = t.scan(spark).orderBy("conv_id", "turn_idx").collect()
+    val nFilesBefore = t.current.get.files.length
+    val id = t.rewriteCompact(spark, "ts", targetFiles = 1)
+    assert(t.current.get.op == "rewrite" && t.current.get.id == id)
+    assert(t.current.get.files.length < nFilesBefore)
+    val after = t.scan(spark).orderBy("conv_id", "turn_idx").collect()
+    assert(after.sameElements(before))
+    // pre-rewrite snapshot still resolvable
+    assert(t.snapshot(2).get.files.map(_.rows).sum == before.length)
+  }
+
   test("checkpointed rollup resumes after crash with identical output") {
     val t = IceTable(tmp("ice"))
     t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")

@@ -77,6 +77,39 @@ class ReferenceParitySpec extends SparkSpec {
     assert(kept.length == 1 && kept.head.getAs[java.sql.Timestamp]("ts").toString.startsWith("2025-03-01"))
   }
 
+  test("A15 SRI on a toy 2-day episode grid matches the hand-computed score (functions/sri.R:4-9)") {
+    import graft.operators.Sri
+    // day1: asleep 00:00-08:00; day2: asleep 02:00-08:00, 30s ticks, lag=2880
+    // span t0..t3840; compared ticks 2880..3840 (961): prev all 1;
+    // current: 240 zeros (00:00-02:00) + 721 ones → SRI = 200·721/961 − 100
+    val eps = Seq(
+      ("c1", "2025-01-01 00:00:00", "2025-01-01 08:00:00", 1, 1),
+      ("c1", "2025-01-02 02:00:00", "2025-01-02 08:00:00", 1, 2))
+      .toDF("conv_id", "start", "end", "status", "src")
+      .select($"conv_id", to_timestamp($"start").as("start"), to_timestamp($"end").as("end"), $"status", $"src")
+    val got = Sri.episodeSri(eps, $"conv_id", $"start", $"end", $"status", $"src",
+      tickSeconds = 30, lagTicks = 2880).head().getAs[Double]("sri")
+    val expected = 200.0 * 721 / 961 - 100.0
+    assert(math.abs(got - expected) < 1e-9, s"got $got expected $expected")
+  }
+
+  test("SRI keep-last overlap: overlapping episodes with different status use the later source") {
+    import graft.operators.Sri
+    // identical days except an overlap where src=2 (wake) overrides src=1 (sleep)
+    val eps = Seq(
+      ("c1", "2025-01-01 00:00:00", "2025-01-01 01:00:00", 1, 1),
+      ("c1", "2025-01-01 00:30:00", "2025-01-01 01:00:00", 0, 2), // later src wins
+      ("c1", "2025-01-02 00:00:00", "2025-01-02 01:00:00", 1, 3))
+      .toDF("conv_id", "start", "end", "status", "src")
+      .select($"conv_id", to_timestamp($"start").as("start"), to_timestamp($"end").as("end"), $"status", $"src")
+    val got = Sri.episodeSri(eps, $"conv_id", $"start", $"end", $"status", $"src",
+      tickSeconds = 30, lagTicks = 2880).head().getAs[Double]("sri")
+    // compared ticks: day2 00:00-01:00 all 1 (121) vs day1: 60 ones then 61 zeros
+    // (keep-last flipped 00:30-01:00) → agree 60 of 121
+    val expected = 200.0 * 60 / 121 - 100.0
+    assert(math.abs(got - expected) < 1e-9, s"got $got expected $expected")
+  }
+
   test("D2 keep-last per tick: overlapping episodes resolve to latest source (functions/sri.R:37-39)") {
     import org.apache.spark.sql.expressions.Window
     val ticks = Seq(
