@@ -390,6 +390,48 @@ object Queries {
           |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) - min(epoch_us(ts)) AS latency_us
           |FROM events GROUP BY 1""".stripMargin))),
 
+    // A12 + J8: distinct-count eligibility gate then anti-join exclusion
+    // (reference n_distinct(Date) >= 2, /root/reference/scripts/sri.R:79-89).
+    "q_eligibility" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir)
+        val ineligible = ev
+          .groupBy(col("user_id"))
+          .agg(countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+          .where(col("n_days") < 25)
+        ev.join(broadcast(ineligible.select(col("user_id"))), Seq("user_id"), "left_anti")
+          .groupBy(col("user_id").as("conv_id"))
+          .agg(count(lit(1)).as("n_events"), countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT user_id, count(DISTINCT date_trunc('day', ts)) AS n_days
+          |  FROM events GROUP BY 1)
+          |SELECT e.user_id AS conv_id, count(*) AS n_events,
+          |  count(DISTINCT date_trunc('day', e.ts)) AS n_days
+          |FROM events e
+          |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.user_id = e.user_id AND d.n_days < 25)
+          |GROUP BY 1""".stripMargin))),
+
+    // A13 metric-registry fan-out: one shuffle, many stats × values
+    // (reference across()/calcMetrics, timeInSleepStages.R:41-51).
+    "q_registry_stats" -> ((
+      (s: SparkSession, dir: String) =>
+        MetricRegistry.summarize(events(s, dir), Seq(col("event_type")),
+          Seq("v" -> col("value")), Seq("count", "mean", "sd", "median", "p5", "p95", "na_sum"))
+          .select(col("event_type"), col("v_count"),
+            round(col("v_mean"), 6).as("v_mean"), round(col("v_sd"), 6).as("v_sd"),
+            round(col("v_median"), 6).as("v_median"), round(col("v_p5"), 6).as("v_p5"),
+            round(col("v_p95"), 6).as("v_p95"), round(col("v_na_sum"), 6).as("v_na_sum")),
+      Some(
+        """SELECT event_type, count(value) AS v_count,
+          |  round(avg(value), 6) AS v_mean, round(stddev_samp(value), 6) AS v_sd,
+          |  round(quantile_cont(value, 0.5), 6) AS v_median,
+          |  round(quantile_cont(value, 0.05), 6) AS v_p5,
+          |  round(quantile_cont(value, 0.95), 6) AS v_p95,
+          |  round(sum(value), 6) AS v_na_sum
+          |FROM events GROUP BY 1""".stripMargin))),
+
     // J1/J2 multi-way assembly + broadcast dim (revenue rollup).
     "q_join_assembly" -> ((
       (s: SparkSession, dir: String) => {

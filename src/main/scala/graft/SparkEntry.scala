@@ -9,14 +9,21 @@ import graft.sources.TranscriptGen
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship: full raw → 1m → 1h → 1d continuous-aggregate cascade over a
-    * deterministically synthesized transcripts table (BASELINE.json
-    * north_star), finalized 1d tier returned. Driver smoke-checks rows>0. */
+  /** Flagship: the full north-star pipeline end-to-end — deterministically
+    * synthesized transcripts appended to an Iceberg-shaped source table,
+    * raw → 1m → 1h → 1d Gorilla-carrying tier tables built tier-on-tier,
+    * retention ladder applied, finalized 1d tier returned (measures derived
+    * from the mergeable stat blocks). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    val turns = TranscriptGen.turns(spark, nConvs = 50L)
-    val measured = TranscriptGen.withMeasures(turns.toDF)
-    val (_, _, t1d) = Rollup.cascade(measured, col("conv_id"), col("ts"), col("text_len"))
-    Rollup.finalized(t1d)
+    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val turns = TranscriptGen.withMeasures(TranscriptGen.turns(spark, nConvs = 50L).toDF)
+    val source = graft.sources.IceTable(s"$root/raw")
+    source.append(turns, "ts")
+    val tiers = graft.operators.TierStore.build(spark, source, s"$root/tiers", col("text_len"))
+    val maxUs = tiers.t1d.current.get.files.map(_.maxTsUs).max
+    val day = 86400000000L
+    graft.operators.TierStore.applyRetention(tiers, maxUs, 21 * day, 90 * day, 10000 * day)
+    Rollup.finalized(tiers.t1d.scan(spark))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

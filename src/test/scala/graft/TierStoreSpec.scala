@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Gorilla, GorillaAgg}
+import graft.operators.{Rollup, TierStore}
+import graft.sources.{IceTable, TranscriptGen}
+
+/** End-to-end north-star pipeline: raw IceTable → Gorilla tier IceTables →
+  * retention ladder; plus exact replay from gorilla blocks. */
+class TierStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private lazy val fixture: (IceTable, org.apache.spark.sql.DataFrame) = {
+    val src = IceTable(tmp("ice-src"))
+    val turns = TranscriptGen.turns(spark, nConvs = 12L, withDuplicates = false)
+      .toDF.withColumn("text_len", length($"text").cast("double")).cache()
+    src.append(turns, "ts")
+    (src, turns)
+  }
+
+  test("tier store: 1d tier from the store equals a direct raw rollup; gorilla replays raw") {
+    val (src, turns) = fixture
+    val tiers = TierStore.build(spark, src, tmp("tiers"), length($"text").cast("double"))
+
+    // correctness: store's 1d stat blocks == direct raw→1d rollup
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"conv_id", $"bucket_start", $"n_rows", round($"sum", 6).as("s"), $"min", $"max")
+      .orderBy("conv_id", "bucket_start").collect().toSeq
+    val direct = Rollup.rollupRaw(turns, $"conv_id", $"ts", $"text_len", "1 day")
+    assert(canon(tiers.t1d.scan(spark)) == canon(direct))
+
+    // gorilla replay: decoding every 1m gblock reproduces the raw points
+    val replayed = tiers.t1m.scan(spark)
+      .select($"conv_id", explode(GorillaAgg.decodeUdf($"gblock")).as("p"))
+      .select($"conv_id", $"p.ts_us", $"p.v")
+      .orderBy("conv_id", "ts_us", "v").collect()
+    val raw = turns
+      .select($"conv_id", unix_micros($"ts".cast("timestamp")).as("ts_us"), $"text_len".as("v"))
+      .orderBy("conv_id", "ts_us", "v").collect()
+    assert(replayed.length == raw.length)
+    assert(replayed.sameElements(raw))
+  }
+
+  test("retention ladder expires fine tiers earlier than coarse tiers") {
+    val (src, turns) = fixture
+    val tiers = TierStore.build(spark, src, tmp("tiers2"), length($"text").cast("double"))
+    val maxUs = turns.agg(max(unix_micros($"ts".cast("timestamp")))).head().getLong(0)
+    val day = 86400000000L
+    // keep 2 days of 1m, 10 days of 1h, everything for 1d
+    TierStore.applyRetention(tiers, maxUs, 2 * day, 10 * day, 1000 * day)
+    val lo1m = tiers.t1m.scan(spark).agg(min($"bucket_start")).head().getTimestamp(0)
+    val lo1h = tiers.t1h.scan(spark).agg(min($"bucket_start")).head().getTimestamp(0)
+    val lo1d = tiers.t1d.scan(spark).agg(min($"bucket_start")).head().getTimestamp(0)
+    assert(lo1m.after(lo1h) || lo1m.equals(lo1h), s"1m ($lo1m) must not retain longer than 1h ($lo1h)")
+    assert(!lo1d.after(lo1h), "1d keeps at least as much history as 1h")
+    assert(tiers.t1m.current.get.op == "expire")
+  }
+}
