@@ -289,6 +289,52 @@ object Queries {
           |  CASE WHEN t.m IS NULL THEN 1 ELSE 0 END AS is_gap
           |FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.b = g.b""".stripMargin))),
 
+    // M4 gap-fill: linear interpolation across null runs on the dense grid
+    // (LOCF/NOCB at the edges) — the engine's second fill mode.
+    "q_gapfill_interp_1h" -> ((
+      (s: SparkSession, dir: String) => {
+        val t1h = Rollup
+          .finalized(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 hour"))
+          .select(col("conv_id"), col("bucket_start"), round(col("mean"), 6).as("m"), col("n_rows"))
+        // no final rounding: the lerp is computed with identical IEEE ops
+        // in identical order on identical 6dp inputs in both engines, so
+        // results are bit-equal — while rounding the output would hit
+        // half-tie disagreements (Spark HALF_UP vs DuckDB half-even) on the
+        // exact .xxxxxx5 values a frac=1/2 lerp of 6dp inputs produces.
+        GapFill
+          .interpolated(GapFill.denseGrid(t1h, "1 HOUR"), "m")
+          .select(col("conv_id"), col("bucket_start"), col("m_interp"), col("is_gap"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT user_id AS conv_id, date_trunc('hour', ts) AS b, round(avg(value), 6) AS m
+          |  FROM events GROUP BY 1, 2),
+          |span AS (SELECT conv_id, min(b) AS lo, max(b) AS hi FROM t GROUP BY 1),
+          |grid AS (SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM span),
+          |j AS (
+          |  SELECT g.conv_id, g.b, t.m,
+          |    CASE WHEN t.m IS NULL THEN 1 ELSE 0 END AS is_gap,
+          |    epoch(g.b) AS x
+          |  FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.b = g.b),
+          |w AS (
+          |  SELECT conv_id, b, m, is_gap, x,
+          |    last_value(m IGNORE NULLS) OVER wf AS pv,
+          |    last_value(CASE WHEN m IS NOT NULL THEN x END IGNORE NULLS) OVER wf AS px,
+          |    last_value(m IGNORE NULLS) OVER wb AS nv,
+          |    last_value(CASE WHEN m IS NOT NULL THEN x END IGNORE NULLS) OVER wb AS nx
+          |  FROM j
+          |  WINDOW wf AS (PARTITION BY conv_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         wb AS (PARTITION BY conv_id ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT conv_id, b AS bucket_start,
+          |  CASE
+          |    WHEN m IS NOT NULL THEN m
+          |    WHEN pv IS NULL THEN nv
+          |    WHEN nv IS NULL THEN pv
+          |    WHEN nx = px THEN pv
+          |    ELSE pv + (nv - pv) * (x - px) / (nx - px) END AS m_interp,
+          |  is_gap
+          |FROM w""".stripMargin))),
+
     // D2 keep-last per (entity, bucket) — overlapping-episode dedup.
     "q_keep_last" -> ((
       (s: SparkSession, dir: String) => {
@@ -596,6 +642,11 @@ object Queries {
         val b = g.select(col("source"), col("len_band"), col("doc_id").as("id_b"), col("ng").as("ng_b"))
         a.join(b, Seq("source", "len_band"))
           .where(col("id_a") < col("id_b"))
+          // exact size-ratio bound: j(a,b) <= min(|a|,|b|)/max(|a|,|b|), so
+          // pairs failing the ratio can never reach the threshold — skips
+          // the expensive set ops without changing results (oracle unchanged)
+          .where(least(size(col("ng_a")), size(col("ng_b"))).cast("double")
+            / greatest(size(col("ng_a")), size(col("ng_b"))) >= 0.7)
           .select(col("source"), col("id_a"), col("id_b"),
             round(Dedup.jaccard(col("ng_a"), col("ng_b")), 6).as("jaccard"))
           .where(col("jaccard") >= 0.7)

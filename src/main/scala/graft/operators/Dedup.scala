@@ -133,6 +133,10 @@ object Dedup {
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // exact size-ratio bound (j <= min/max of set sizes) prunes pairs
+      // before the expensive intersect/union — result-preserving
+      .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        / greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

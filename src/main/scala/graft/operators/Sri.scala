@@ -72,6 +72,47 @@ object Sri {
     score(filled.select(col("e"), col("tick"), col("status")), col("e"), lagTicks)
   }
 
+  /** Per-bucket SRI (reference weekly SRI, sri.R:181-195): the lag-agreement
+    * score grouped by (entity, bucket of the current tick). Feed the result
+    * to Sliding.slidingStats for the sliding 3/26-bucket SRI (F3,
+    * /root/reference/scripts/functions/sri.R:96-121). */
+  private def scoreBucketed(
+      statusOrdered: DataFrame,
+      entity: Column,
+      tickSeconds: Int,
+      lagTicks: Int,
+      bucketSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(entity).orderBy(col("tick"))
+    statusOrdered
+      .withColumn("_prev", lag(col("status"), lagTicks).over(w))
+      .where(col("_prev").isNotNull)
+      .withColumn("bucket_start",
+        timestamp_seconds((col("tick") * tickSeconds / bucketSeconds).cast("long") * bucketSeconds))
+      .groupBy(entity.as("conv_id"), col("bucket_start"))
+      .agg((lit(200.0) * avg((col("status") === col("_prev")).cast("double")) - 100.0).as("sri"))
+  }
+
+  /** Bucketed variant of activityRegularity (e.g. daily/weekly SRI series). */
+  def activityRegularityBucketed(
+      turns: DataFrame,
+      entity: Column,
+      ts: Column,
+      tickSeconds: Int,
+      lagTicks: Int,
+      bucketSeconds: Long): DataFrame = {
+    val active = turns
+      .select(entity.as("e"), (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long").as("tick"))
+      .groupBy(col("e"), col("tick"))
+      .agg(lit(1).as("st"))
+    val span = active.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
+    val grid = span.select(col("e"), explode(sequence(col("lo"), col("hi"))).as("tick"))
+    val filled = grid
+      .join(active, Seq("e", "tick"), "left")
+      .withColumn("status", coalesce(col("st"), lit(0)))
+    scoreBucketed(filled.select(col("e"), col("tick"), col("status")), col("e"),
+      tickSeconds, lagTicks, bucketSeconds)
+  }
+
   /** Transcripts instantiation: per-tick activity status (1 = at least one
     * turn in the tick) on a dense grid spanning each entity's first..last
     * tick; day-over-day regularity = lag of one day in ticks. */

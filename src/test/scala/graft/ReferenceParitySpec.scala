@@ -110,6 +110,32 @@ class ReferenceParitySpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-9, s"got $got expected $expected")
   }
 
+  test("F3 sliding SRI: bucketed daily scores + sliding window composition (sri.R:96-121,181-195)") {
+    import graft.operators.{Sliding, Sri}
+    // 4 days of turns: same 3 active hours daily except day 3 shifts by 2h
+    val turns = (for {
+      day <- 0 to 3
+      hour <- if (day == 2) Seq(10, 11, 12) else Seq(8, 9, 10)
+      m <- 0 until 60 by 5
+    } yield ("c1", f"2025-01-0${day + 1}%d $hour%02d:$m%02d:00"))
+      .toDF("conv_id", "tss").withColumn("ts", to_timestamp($"tss"))
+    val daily = Sri.activityRegularityBucketed(turns, $"conv_id", $"ts",
+      tickSeconds = 300, lagTicks = 288, bucketSeconds = 86400L)
+    val scores = daily.orderBy("bucket_start")
+      .select($"bucket_start".cast("date").cast("string"), $"sri")
+      .as[(String, Double)].collect().toMap
+    // day2 matches day1 exactly → 100; day3 vs day2 shifted → lower; day4
+    // vs day3 shifted back → lower too (day4's bucket is truncated at the
+    // last active tick, so its denominator differs from day3's full day)
+    assert(scores("2025-01-02") == 100.0)
+    assert(scores("2025-01-03") < 100.0 && scores("2025-01-04") < 100.0)
+    // composition: sliding 2-day mean over the daily SRI series (F3)
+    val slid = Sliding.slidingStats(daily, $"conv_id", $"bucket_start", 86400L, 2, Seq("sri" -> $"sri"))
+    val last = slid.orderBy($"bucket_start".desc).select($"sri_mean").as[Double].head()
+    val expected = (scores("2025-01-03") + scores("2025-01-04")) / 2.0
+    assert(math.abs(last - expected) < 1e-9, s"sliding mean $last vs $expected")
+  }
+
   test("D2 keep-last per tick: overlapping episodes resolve to latest source (functions/sri.R:37-39)") {
     import org.apache.spark.sql.expressions.Window
     val ticks = Seq(
