@@ -54,7 +54,9 @@ object Bench {
   private def cascadeRun(spark: SparkSession, path: String): Double = {
     val raw = TranscriptGen.withMeasures(spark.read.parquet(path))
     val t0 = System.nanoTime()
-    val (_, _, t1d) = Rollup.cascade(raw, col("conv_id"), col("ts"), col("text_len"))
+    // co-partitioned mode: ONE exchange for the whole chain (PlanSpec);
+    // measured faster than the 3-shuffle default at both core counts
+    val (_, _, t1d) = Rollup.cascadeCoPartitioned(raw, col("conv_id"), col("ts"), col("text_len"))
     require(t1d.count() > 0)
     (System.nanoTime() - t0) / 1e9
   }

@@ -23,6 +23,13 @@ object Queries {
 
   private def events(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "events")
 
+  /** Small single-file tables arrive as ONE input partition, which would
+    * serialize compute-heavy pipelines (signatures, pair joins) onto one
+    * task. Spread them across the cores up front — at real scale the input
+    * has many partitions and this is a no-op decision made by layout. */
+  private def wide(s: SparkSession, dir: String, name: String): DataFrame =
+    tbl(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** Uniform user-facing tier projection (shared by tier queries + oracle). */
   private def tierOut(t: DataFrame): DataFrame =
     Rollup
@@ -245,6 +252,36 @@ object Queries {
           |  round(avg((string_split(rng, '-')[1]::double + string_split(rng, '-')[2]::double) / 2.0), 6) AS mean_range_mid,
           |  count(*) AS n_docs
           |FROM r GROUP BY 1""".stripMargin))),
+
+    // F2: the long sliding window (reference sliding 26-week SD,
+    // sleepSD.R:95-123) — 26 daily buckets here (the events table spans
+    // 30 days), same rangeBetween + exact-completeness machinery.
+    "q_sliding_26d" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = Rollup
+          .finalized(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day"))
+          .select(col("conv_id"), col("bucket_start"), col("mean"))
+        Sliding
+          .slidingStats(daily, col("conv_id"), col("bucket_start"), 86400L, 26, Seq("m" -> col("mean")))
+          .select(
+            col("conv_id"),
+            col("bucket_start"),
+            round(col("m_mean"), 6).as("mean26"),
+            round(col("m_sd"), 6).as("sd26"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT user_id AS conv_id, date_trunc('day', ts) AS bucket_start, avg(value) AS m
+          |  FROM events GROUP BY 1, 2)
+          |SELECT conv_id, bucket_start,
+          |  round(avg(m) OVER w26, 6) AS mean26,
+          |  round(stddev_samp(m) OVER w26, 6) AS sd26
+          |FROM d
+          |WINDOW w26 AS (PARTITION BY conv_id ORDER BY bucket_start
+          |  RANGE BETWEEN INTERVAL 25 DAY PRECEDING AND CURRENT ROW),
+          |       wc AS (PARTITION BY conv_id ORDER BY bucket_start
+          |  RANGE BETWEEN INTERVAL 25 DAY PRECEDING AND CURRENT ROW)
+          |QUALIFY count(*) OVER wc = 26""".stripMargin))),
 
     // W6/A15 SRI-style lag-agreement score (reference 2880-epoch self-lag).
     "q_sri_lag10" -> ((
@@ -634,19 +671,26 @@ object Queries {
     // LSH variant below).
     "q_ngram_jaccard_block" -> ((
       (s: SparkSession, dir: String) => {
-        val g = tbl(s, dir, "documents")
+        // shingles are 64-bit-hashed (array<bigint> instead of array<string>):
+        // pair rows carry ~3× fewer bytes through the self-join and set ops
+        // compare longs, not UTF8 strings; a hash collision would need two
+        // distinct 3-grams in one union to collide in 64 bits (~1e-15 here),
+        // so the string-Jaccard oracle still matches exactly.
+        val g = wide(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             (col("n_chars") / 200).cast("long").as("len_band"),
-            Dedup.ngramSet(lower(col("text")), 3).as("ng"))
+            transform(Dedup.ngramSet(lower(col("text")), 3), sh => xxhash64(sh)).as("ng"))
         val a = g.select(col("source"), col("len_band"), col("doc_id").as("id_a"), col("ng").as("ng_a"))
-        val b = g.select(col("source"), col("len_band"), col("doc_id").as("id_b"), col("ng").as("ng_b"))
-        a.join(b, Seq("source", "len_band"))
-          .where(col("id_a") < col("id_b"))
-          // exact size-ratio bound: j(a,b) <= min(|a|,|b|)/max(|a|,|b|), so
-          // pairs failing the ratio can never reach the threshold — skips
-          // the expensive set ops without changing results (oracle unchanged)
-          .where(least(size(col("ng_a")), size(col("ng_b"))).cast("double")
-            / greatest(size(col("ng_a")), size(col("ng_b"))) >= 0.7)
+        val b = g.select(col("source").as("source_b"), col("len_band").as("len_band_b"),
+          col("doc_id").as("id_b"), col("ng").as("ng_b"))
+        // distinct column names avoid the same-lineage self-join ambiguity;
+        // id order + exact size-ratio bound (j <= min/max sizes) live in the
+        // JOIN condition, so non-candidate pairs never materialize as rows
+        a.join(b,
+          col("source") === col("source_b") && col("len_band") === col("len_band_b")
+            && col("id_a") < col("id_b")
+            && least(size(col("ng_a")), size(col("ng_b"))).cast("double")
+              / greatest(size(col("ng_a")), size(col("ng_b"))) >= 0.7)
           .select(col("source"), col("id_a"), col("id_b"),
             round(Dedup.jaccard(col("ng_a"), col("ng_b")), 6).as("jaccard"))
           .where(col("jaccard") >= 0.7)
@@ -683,19 +727,19 @@ object Queries {
     // DedupSpec against planted dups.
     "q_minhash_lsh" -> ((
       (s: SparkSession, dir: String) =>
-        Dedup.minhashLshPairs(tbl(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.35),
+        Dedup.minhashLshPairs(wide(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.35),
       None)),
 
     // SimHash near-dup pairs (rows-only check; semantics in DedupSpec).
     "q_simhash_pairs" -> ((
       (s: SparkSession, dir: String) =>
-        Dedup.simhashPairs(tbl(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 16),
+        Dedup.simhashPairs(wide(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 16),
       None)),
 
     // LSH-bucketed ANN top-5 per vector (rows-only; recall in SimilaritySpec).
     "q_ann_lsh" -> ((
       (s: SparkSession, dir: String) =>
-        Similarity.lshTopK(tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 5),
+        Similarity.lshTopK(wide(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 5),
       None)))
 
   val catalog: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =

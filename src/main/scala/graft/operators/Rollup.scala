@@ -177,4 +177,37 @@ object Rollup {
     val t1d = rollupTier(t1h, "1 day")
     (t1m, t1h, t1d)
   }
+
+  /** Single-shuffle cascade: repartition raw by entity ONCE, then every
+    * tier aggregate runs shuffle-free — HashPartitioning(entity) satisfies
+    * each aggregate's ClusteredDistribution(entity, bucket) because equal
+    * (entity, bucket) pairs are already co-located, and Spark's alias-aware
+    * partitioning propagates it through the tier projections. The whole
+    * 1m→1h→1d chain fuses into ONE whole-stage-codegen span above one
+    * Exchange (asserted in PlanSpec).
+    *
+    * Trade-off vs `cascade`: this ships RAW rows through the single
+    * shuffle (no map-side combine), while the default ships partial blocks
+    * through three shuffles. When raw cardinality per 1m bucket is low
+    * (~1 turn/bucket — the transcripts shape), one raw shuffle beats
+    * 1m-tier-sized + two smaller shuffles; with dense buckets the default's
+    * map-side combine wins. Also: per-entity co-location concentrates a
+    * mega-entity in one task — prefer the salted path for extreme keys. */
+  def cascadeCoPartitioned(
+      raw: DataFrame,
+      entity: Column,
+      ts: Column,
+      value: Column): (DataFrame, DataFrame, DataFrame) = {
+    // project to the three needed columns BEFORE the shuffle — the single
+    // exchange then carries ~(key, ts, value) instead of full raw rows
+    // (e.g. the text payload), which is what makes one raw-row shuffle
+    // competitive with three block shuffles.
+    val pre = raw
+      .select(entity.as("_e"), ts.as("_ts"), value.as("_v"))
+      .repartition(col("_e"))
+    val t1m = rollupRaw(pre, col("_e"), col("_ts"), col("_v"), "1 minute")
+    val t1h = rollupTier(t1m, "1 hour")
+    val t1d = rollupTier(t1h, "1 day")
+    (t1m, t1h, t1d)
+  }
 }

@@ -51,6 +51,23 @@ class PlanSpec extends SparkSpec {
     assert(nExch == 2, s"raw→1m→1h must shuffle exactly twice, got $nExch\n${p.take(3000)}")
   }
 
+  test("co-partitioned cascade: ONE exchange for the whole raw→1m→1h→1d chain") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val (_, _, t1d) = Rollup.cascadeCoPartitioned(ev, col("user_id"), col("ts"), col("value"))
+    t1d.collect()
+    val p = t1d.queryExecution.executedPlan.toString
+    val finalPlan = p.linesIterator.takeWhile(!_.contains("Initial Plan")).toSeq
+    val nExch = finalPlan.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(nExch == 1, s"expected a single exchange, got $nExch:\n${finalPlan.mkString("\n").take(3000)}")
+    // and it matches the default cascade's results (mod FP summation order)
+    val (_, _, ref) = Rollup.cascade(ev, col("user_id"), col("ts"), col("value"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("conv_id"), col("bucket_start"), col("n_rows"), col("n_vals"),
+        round(col("sum"), 6), col("min"), col("max"), round(col("sum_sin"), 9))
+      .orderBy("conv_id", "bucket_start").collect().toSeq
+    assert(canon(t1d) == canon(ref))
+  }
+
   test("rollup stays inside whole-stage codegen (no UDFs in the hot path)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val df = Rollup.rollupRaw(ev, col("user_id"), col("ts"), col("value"), "1 minute")
