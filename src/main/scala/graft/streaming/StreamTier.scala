@@ -47,6 +47,35 @@ object StreamTier {
       .drop("w")
   }
 
+  /** Stream the 1m tier INTO an IceTable — batch backfill and streaming
+    * head share one store. Each micro-batch commits as an append snapshot
+    * (lineage: one snapshot per epoch), so downstream tier builds and
+    * retention actions see streaming data exactly like batch data.
+    * Returns the started query; await/stop is the caller's. */
+  def intoIceTable(
+      spark: SparkSession,
+      inputPath: String,
+      tableRoot: String,
+      checkpoint: String,
+      value: Column,
+      interval: String = "1 minute",
+      lateness: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(inputPath).schema
+    val stream = spark.readStream.schema(schema).parquet(inputPath)
+      .withColumn("text_len", length(col("text")).cast("double"))
+    val tiered = tierAggregate(stream, value, interval, lateness)
+    tiered.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.IceTable(tableRoot).append(batch, "bucket_start"): Unit
+        }
+      }
+      .start()
+  }
+
   /** Stream a transcripts parquet directory into a 1m tier. Returns the
     * writer; caller starts it with .start(path) or .toTable. */
   def from(

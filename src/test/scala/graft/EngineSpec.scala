@@ -73,6 +73,25 @@ class EngineSpec extends SparkSpec {
     assert(stats.count() == 3)
   }
 
+  test("streaming writes into the shared tier IceTable (foreachBatch append snapshots)") {
+    import graft.streaming.StreamTier
+    import graft.sources.IceTable
+    val dir = java.nio.file.Files.createTempDirectory("stream-in2").toString
+    val tableRoot = java.nio.file.Files.createTempDirectory("stream-ice").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    val turns = TranscriptGen.turns(spark, nConvs = 8L, withDuplicates = false).toDF
+    turns.write.mode("overwrite").parquet(dir)
+    val q = StreamTier.intoIceTable(spark, dir, tableRoot, ckpt, col("text_len"))
+    q.awaitTermination(120000)
+    val t = IceTable(tableRoot)
+    assert(t.currentSnapshotId >= 1, "at least one micro-batch committed a snapshot")
+    val stored = t.scan(spark)
+    assert(stored.count() > 0)
+    // same block schema as the batch tier → batch merge works on it
+    val merged = Rollup.rollupTier(stored, "1 hour")
+    assert(merged.count() > 0)
+  }
+
   test("streaming 1m tier equals batch 1m tier (shared schema + semantics)") {
     import graft.streaming.StreamTier
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
