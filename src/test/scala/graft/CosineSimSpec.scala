@@ -53,6 +53,24 @@ class CosineSimSpec extends SparkSpec {
     assert(p.contains("*("), "cosine_sim must run inside whole-stage codegen")
   }
 
+  test("GraftExtensions injects cosine_sim for a fresh session (spark-submit path)") {
+    import org.apache.spark.sql.SparkSession
+    // newSession shares the context but gets fresh state; extensions apply
+    // at builder time, so build a session with withExtensions
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head()
+      assert(r.getDouble(0) == 1.0)
+    } finally {
+      // do not stop: shares the SparkContext with the suite session
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("length mismatch raises a clear error") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
     val e = intercept[Exception] { df.select(CosineSim.cosineSim($"a", $"b")).collect() }
