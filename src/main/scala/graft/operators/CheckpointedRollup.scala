@@ -19,10 +19,13 @@ import graft.sources.IceTable
   * executed=/used= provenance on every egress
   * (/root/reference/scripts/daily-measures.R:242-251).
   *
-  * Resume semantics: a day is skipped iff its marker exists AND cites the
-  * CURRENT source snapshot id — so appending new raw data (new snapshot)
-  * naturally invalidates only the days whose files changed is handled by
-  * re-listing; a crashed run redoes only missing days. Output commit is
+  * Resume semantics: a day is skipped iff its marker exists AND its
+  * source-file FINGERPRINT is unchanged — the fingerprint hashes the
+  * manifest entries (path, rows, bytes) of exactly the files overlapping
+  * that day. Appending a new snapshot therefore invalidates ONLY the days
+  * the new files touch (incremental tier build: O(changed days), not
+  * O(history)); a crashed run redoes only missing days. The marker also
+  * records the source snapshot id for lineage/audit. Output commit is
   * write-to-temp + atomic rename, so a kill mid-day never leaves a
   * half-visible day.
   *
@@ -51,9 +54,22 @@ object CheckpointedRollup {
   private def markerPath(outDir: String, dayUs: Long) =
     Paths.get(outDir, "_checkpoints", s"day-$dayUs.json")
 
-  def isDone(outDir: String, dayUs: Long, sourceSnapshotId: Long): Boolean = {
+  /** Deterministic fingerprint of the source files overlapping a day. */
+  def dayFingerprint(source: IceTable, dayUs: Long): Long = {
+    val files = source.current.map(_.files).getOrElse(Nil)
+      .filter(f => f.maxTsUs >= dayUs && f.minTsUs < dayUs + DayUs)
+      .sortBy(_.path)
+    files.foldLeft(1125899906842597L) { (h, f) =>
+      ((h * 31 + f.path.hashCode) * 31 + f.rows) * 31 + f.bytes
+    }
+  }
+
+  def isDone(outDir: String, dayUs: Long, fingerprint: Long): Boolean = {
     val p = markerPath(outDir, dayUs)
-    Files.exists(p) && mapper.readTree(Files.readAllBytes(p)).get("source_snapshot_id").asLong == sourceSnapshotId
+    Files.exists(p) && {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      n.has("source_files_fp") && n.get("source_files_fp").asLong == fingerprint
+    }
   }
 
   /** Run (or resume) the tier build. `failAfter` injects a crash after N
@@ -69,7 +85,8 @@ object CheckpointedRollup {
     Files.createDirectories(Paths.get(outDir, "_checkpoints"))
     var done = 0
     pendingDays(source).map { dayUs =>
-      if (isDone(outDir, dayUs, snapId)) DayResult(dayUs, 0L, 0L, skipped = true)
+      val fp = dayFingerprint(source, dayUs)
+      if (isDone(outDir, dayUs, fp)) DayResult(dayUs, 0L, 0L, skipped = true)
       else {
         failAfter.foreach(k => if (done >= k) throw new RuntimeException(s"injected failure after $k units"))
         val t0 = System.nanoTime()
@@ -87,6 +104,7 @@ object CheckpointedRollup {
         val bytes = dirBytes(dayDir)
         val node = mapper.createObjectNode()
         node.put("source_snapshot_id", snapId)
+        node.put("source_files_fp", fp)
         node.put("bucket_lo_us", dayUs)
         node.put("bucket_hi_us", dayUs + DayUs - 1)
         node.put("rows", rows)

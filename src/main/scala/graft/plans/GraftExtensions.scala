@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("gorilla_explode"),
+      new ExpressionInfo(classOf[GorillaExplode].getName, "gorilla_explode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GorillaExplode(exprs.head)))
   }
 }

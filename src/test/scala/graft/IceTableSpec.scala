@@ -97,16 +97,34 @@ class IceTableSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("new source snapshot invalidates checkpoints (lineage check)") {
+  test("incremental invalidation: appending data recomputes ONLY the touched days") {
     val t = IceTable(tmp("ice"))
-    t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")
+    val withLen = turnsDf.withColumn("text_len", length($"text").cast("double"))
+    t.append(withLen, "ts")
     val outDir = tmp("tier")
     CheckpointedRollup.run(spark, t, outDir, col("text_len"))
     val again = CheckpointedRollup.run(spark, t, outDir, col("text_len"))
-    assert(again.forall(_.skipped), "same snapshot → all units skipped")
-    // append more data → snapshot id changes → all days recompute
-    t.append(turnsDf.limit(50).withColumn("text_len", length($"text").cast("double")), "ts")
+    assert(again.forall(_.skipped), "unchanged source → all units skipped")
+
+    // append rows confined to a narrow late date range → only those days'
+    // source-file fingerprints change
+    val late = withLen.where($"ts" >= "2025-01-28")
+    assert(late.count() > 0)
+    t.append(late, "ts")
     val after = CheckpointedRollup.run(spark, t, outDir, col("text_len"))
-    assert(after.forall(!_.skipped), "new snapshot id must invalidate markers")
+    val redone = after.filter(!_.skipped).map(_.dayUs).toSet
+    val skipped = after.count(_.skipped)
+    assert(redone.nonEmpty && skipped > 0,
+      s"expected a mix: redone=${redone.size}, skipped=$skipped")
+    val cutoffUs = java.sql.Timestamp.valueOf("2025-01-28 00:00:00").getTime * 1000
+    assert(redone.forall(_ >= cutoffUs - 86400000000L),
+      s"only late days may recompute, got ${redone.map(_ / 86400000000L)}")
+
+    // and the incremental result equals a from-scratch build on the same source
+    val freshDir = tmp("tier-fresh")
+    CheckpointedRollup.run(spark, t, freshDir, col("text_len"))
+    val a = spark.read.parquet(s"$outDir/day=*").orderBy("conv_id", "bucket_start").collect()
+    val b = spark.read.parquet(s"$freshDir/day=*").orderBy("conv_id", "bucket_start").collect()
+    assert(a.sameElements(b))
   }
 }

@@ -33,16 +33,23 @@ class TierStoreSpec extends SparkSpec {
     val direct = Rollup.rollupRaw(turns, $"conv_id", $"ts", $"text_len", "1 day")
     assert(canon(tiers.t1d.scan(spark)) == canon(direct))
 
-    // gorilla replay: decoding every 1m gblock reproduces the raw points
+    // gorilla replay via the native Generator: decoding every 1m gblock
+    // reproduces the raw points
     val replayed = tiers.t1m.scan(spark)
-      .select($"conv_id", explode(GorillaAgg.decodeUdf($"gblock")).as("p"))
-      .select($"conv_id", $"p.ts_us", $"p.v")
+      .select($"conv_id", graft.plans.GorillaExplode.gorillaExplode($"gblock"))
       .orderBy("conv_id", "ts_us", "v").collect()
     val raw = turns
       .select($"conv_id", unix_micros($"ts".cast("timestamp")).as("ts_us"), $"text_len".as("v"))
       .orderBy("conv_id", "ts_us", "v").collect()
     assert(replayed.length == raw.length)
     assert(replayed.sameElements(raw))
+
+    // the Generator and the UDF decode path agree
+    val viaUdf = tiers.t1m.scan(spark)
+      .select($"conv_id", explode(GorillaAgg.decodeUdf($"gblock")).as("p"))
+      .select($"conv_id", $"p.ts_us", $"p.v")
+      .orderBy("conv_id", "ts_us", "v").collect()
+    assert(viaUdf.sameElements(replayed))
   }
 
   test("retention ladder expires fine tiers earlier than coarse tiers") {
