@@ -87,10 +87,17 @@ object Bench {
     val bytesPerPoint = g.getAs[Long]("b").toDouble / g.getAs[Long]("p")
 
     // ---- per-query timings on the driver's sf dir (also warms the JIT) ----
+    // a failed query must read as a FAILURE (-1), never as a fast timing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // ---- headline: cascade throughput at full parallelism (JIT now warm) ----

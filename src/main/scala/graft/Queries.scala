@@ -139,11 +139,15 @@ object Queries {
            |FROM b GROUP BY 1""".stripMargin))),
 
     // P7 retention window: rows at/after per-entity anchor + interval.
+    // `anchors` is one row PER ENTITY — unbounded at 10^8+ conv_ids — so it
+    // must NOT carry a broadcast hint: let AQE pick broadcast when the
+    // runtime size is small and fall back to a shuffled join when it isn't
+    // (PlanSpec asserts the plan is hint-free).
     "q_retention_14d" -> ((
       (s: SparkSession, dir: String) => {
         val ev = events(s, dir)
         val anchors = ev.groupBy(col("user_id")).agg(min(col("ts")).as("anchor"))
-        ev.join(broadcast(anchors), Seq("user_id"))
+        ev.join(anchors, Seq("user_id"))
           .where(TimeBuckets.afterRetentionInterval(col("ts"), col("anchor"), "14 DAY"))
           .groupBy(col("user_id").as("conv_id"))
           .agg(count(lit(1)).as("n_after"), round(sum(col("value")), 6).as("sum_after"))
@@ -441,8 +445,11 @@ object Queries {
           |SELECT user_id AS conv_id, count(*) AS n_transitions
           |FROM g WHERE nxt IS NOT NULL AND nxt <> event_type GROUP BY 1""".stripMargin))),
 
-    // W1 NumAwakenings semantics: transitions INTO the high state, trailing
-    // high-run excluded (daily-measures.R:110-125 on the events shape).
+    // W1 NumAwakenings semantics: transitions INTO the high state, with the
+    // reference's drop-only-the-last-row rule (daily-measures.R:110-125 on
+    // the events shape): a transition directly into the group's final row
+    // does not count (that row would be dropped), any other trailing-run
+    // transition does.
     "q_awakenings" -> ((
       (s: SparkSession, dir: String) =>
         Episodes.transitionsInto(events(s, dir),
@@ -452,13 +459,11 @@ object Queries {
         """WITH g AS (
           |  SELECT user_id, (value > 25.0)::int AS cur,
           |    lead((value > 25.0)::int) OVER w AS nxt,
-          |    sum(CASE WHEN value > 25.0 THEN 0 ELSE 1 END) OVER
-          |      (PARTITION BY user_id ORDER BY ts, event_id
-          |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rest_nt
+          |    lead(1, 2) OVER w AS has_two_ahead
           |  FROM events
           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
           |SELECT user_id AS conv_id, count(*) AS n_transitions
-          |FROM g WHERE cur = 0 AND nxt = 1 AND coalesce(rest_nt, 0) > 0 GROUP BY 1""".stripMargin))),
+          |FROM g WHERE cur = 0 AND nxt = 1 AND has_two_ahead IS NOT NULL GROUP BY 1""".stripMargin))),
 
     // W4 first-match latency (REM-onset analog): first 'purchase' − first event.
     "q_first_latency" -> ((
@@ -478,11 +483,13 @@ object Queries {
     "q_eligibility" -> ((
       (s: SparkSession, dir: String) => {
         val ev = events(s, dir)
+        // per-entity aggregate — potentially MOST entities — so no broadcast
+        // hint: AQE decides from the runtime size (see q_retention_14d note)
         val ineligible = ev
           .groupBy(col("user_id"))
           .agg(countDistinct(date_trunc("day", col("ts"))).as("n_days"))
           .where(col("n_days") < 25)
-        ev.join(broadcast(ineligible.select(col("user_id"))), Seq("user_id"), "left_anti")
+        ev.join(ineligible.select(col("user_id")), Seq("user_id"), "left_anti")
           .groupBy(col("user_id").as("conv_id"))
           .agg(count(lit(1)).as("n_events"), countDistinct(date_trunc("day", col("ts"))).as("n_days"))
       },

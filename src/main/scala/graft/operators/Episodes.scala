@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 /** Ordered-run analysis inside an entity: the engine generalization of the
   * reference's daily-measures window pipelines
   * (/root/reference/scripts/daily-measures.R:110-181):
-  *   W1 NumAwakenings — count X→target transitions, excluding a trailing
-  *      target run (the reference drops the last row when it is wake:
-  *      daily-measures.R:117 `row_number()==n()`);
+  *   W1 NumAwakenings — count X→target transitions after dropping only the
+  *      group's last row when it is a target (daily-measures.R:117
+  *      `row_number()==n() & Value %in% c("wake","awake")`);
   *   W2 REM fragmentation — target→non-target transitions over target count;
   *   W4 first-match latency — seconds between the first row matching predA
   *      and the first row matching predB (cumsum(bool)==1 flags,
@@ -24,8 +24,15 @@ object Episodes {
   private def w(parts: Seq[Column], order: Seq[Column]): WindowSpec =
     Window.partitionBy(parts: _*).orderBy(order: _*)
 
-  /** W1: count transitions into `isTarget` rows, excluding a trailing
-    * target run. E.g. awakenings: non-wake → wake, trailing wake dropped. */
+  /** W1: count transitions into `isTarget` rows, with the reference's
+    * trailing-row rule: drop ONLY the single last row of the group when it
+    * is a target (daily-measures.R:117 `row_number()==n() & Value %in%
+    * c("wake","awake")`), then count rows whose next row is a target and
+    * whose own value is not. Equivalently on the undropped data: a
+    * non-target→target transition counts unless it leads directly into the
+    * group's final row (which, being a target, would have been dropped) —
+    * so for 'llwllww' the transitions at idx 2→3 and 5→6 both count (2),
+    * even though the 'ww' run trails. */
   def transitionsInto(
       df: DataFrame,
       parts: Seq[Column],
@@ -34,17 +41,12 @@ object Episodes {
     val ws = w(parts, order)
     // a transition row: next row is target, current is not
     val nxt = lead(isTarget.cast("int"), 1).over(ws)
-    // trailing-run exclusion: a target run that extends to the group end
-    // contributes no transition if nothing follows it — count transitions
-    // whose target run is followed by at least one later non-target row.
-    val flagged = df
-      .withColumn("_cur", isTarget.cast("int"))
+    // the next row is the group's last row iff no row exists two ahead
+    val nxtIsLast = lead(lit(1), 2).over(ws).isNull
+    df.withColumn("_cur", isTarget.cast("int"))
       .withColumn("_nxt", nxt)
-      .withColumn("_rest_non_target",
-        sum(when(isTarget, 0).otherwise(1)).over(
-          ws.rowsBetween(1, Window.unboundedFollowing)))
-    flagged
-      .where(col("_cur") === 0 && col("_nxt") === 1 && col("_rest_non_target") > 0)
+      .withColumn("_nxt_is_last", nxtIsLast)
+      .where(col("_cur") === 0 && col("_nxt") === 1 && !col("_nxt_is_last"))
       .groupBy(parts: _*)
       .agg(count(lit(1)).as("n_transitions"))
   }

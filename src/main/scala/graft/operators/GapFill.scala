@@ -15,23 +15,57 @@ import org.apache.spark.sql.functions._
   * the only shuffle is the join + window partitioning on conv_id, which
   * co-locate (same key) so Catalyst reuses one exchange.
   *
-  * Scale note: the grid explode multiplies rows by span/interval. At 10^12
-  * turns the grid is generated per (conv_id, day) — bounded fan-out per key
-  * (the reference's 2880 epochs/day motif) — never a global cross join.
+  * Scale note: the grid explode multiplies rows by span/interval. The grid
+  * is generated TWO-LEVEL — days first, then ticks within each day (the
+  * reference's per-day 2880-epoch motif, sri.R:47-54) — so no single
+  * Generate call ever materializes a whole entity span: a 3-year entity at
+  * 30s ticks is ~1100 day rows × ≤2880 ticks each, not one 3.2M-element
+  * array in one task (which would also trip Sequence's length cap). Never a
+  * global cross join.
   */
 object GapFill {
+
+  private val DayUs = 86400000000L
 
   /** Dense per-entity grid between each entity's min and max bucket.
     * Input must have columns (conv_id, bucket_start). Output: one row per
     * (conv_id, grid bucket) with all tier columns, null in gaps, plus
-    * `is_gap` (1 where the tier had no row). */
+    * `is_gap` (1 where the tier had no row).
+    *
+    * Grid points are lo-anchored (lo, lo+i, lo+2i, …, ≤ hi) exactly as a
+    * single sequence(lo, hi, interval) would produce, but generated per
+    * (entity, day): level 1 explodes the entity's DAY range (bounded by
+    * span days), level 2 explodes the tick indices of the lo-anchored grid
+    * that fall inside that day (≤ day/interval per row). `interval` must be
+    * a day-time interval (no month/year units — those have no fixed µs
+    * width); epochs are assumed non-negative (µs since 1970). */
   def denseGrid(tier: DataFrame, interval: String): DataFrame = {
     val span = tier
       .groupBy(col("conv_id"))
       .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
-    val grid = span.select(
+    // level 1: one row per (entity, day-in-span)
+    val days = span
+      .selectExpr(
+        "conv_id", "lo",
+        "unix_micros(cast(lo as timestamp)) AS lo_us",
+        "unix_micros(cast(hi as timestamp)) AS hi_us",
+        s"unix_micros(timestamp'1970-01-01 00:00:00Z' + INTERVAL $interval) AS step_us")
+      .selectExpr("conv_id", "lo", "lo_us", "hi_us", "step_us",
+        s"explode(sequence(lo_us div $DayUs, hi_us div $DayUs)) AS day_idx")
+    // level 2: tick indices k of the lo-anchored grid inside [day, day+1):
+    //   k_lo = smallest k with lo_us + k·step ≥ day start (0 on the first day)
+    //   k_hi = largest  k with lo_us + k·step < day end, capped at hi
+    val ticks = days
+      .selectExpr(
+        "conv_id", "lo",
+        s"""CASE WHEN day_idx * $DayUs <= lo_us THEN 0L
+           |     ELSE (day_idx * $DayUs - lo_us + step_us - 1) div step_us END AS k_lo""".stripMargin,
+        s"least((hi_us - lo_us) div step_us, ((day_idx + 1) * $DayUs - 1 - lo_us) div step_us) AS k_hi")
+      .where(col("k_lo") <= col("k_hi"))
+      .selectExpr("conv_id", "lo", "explode(sequence(k_lo, k_hi)) AS k")
+    val grid = ticks.select(
       col("conv_id"),
-      explode(expr(s"sequence(lo, hi, INTERVAL $interval)")).as("bucket_start"))
+      (col("lo") + expr(s"INTERVAL $interval") * col("k")).as("bucket_start"))
     grid
       .join(tier, Seq("conv_id", "bucket_start"), "left")
       .withColumn("is_gap", when(col("n_rows").isNull, lit(1)).otherwise(lit(0)))

@@ -18,13 +18,45 @@ import org.apache.spark.sql.functions._
   *  - `activityRegularity` — the transcripts instantiation: status = "any
   *    turn in this tick", measuring day-over-day conversation regularity.
   *
-  * Scale: the grid explode is bounded fan-out per (entity, day) — ticksPerDay
-  * rows — and every stage shuffles on the same entity key, so Catalyst
-  * reuses one exchange across dedup/fill/lag; mega-entities are bounded by
-  * span × ticksPerDay, not by turn count (the grid is the same size however
-  * many raw turns fall in it).
+  * Scale: the grid explode is TWO-LEVEL — day chunks first, then ticks
+  * within a chunk (the reference's per-day grid shape, sri.R:47-54) — so the
+  * fan-out of any single Generate call is bounded by ticksPerDay, never by
+  * the whole entity span (a 3-year 30s-tick span would otherwise be one
+  * ~3.2M-element array in one task). Every stage shuffles on the same
+  * entity key, so Catalyst reuses one exchange across dedup/fill/lag;
+  * mega-entities are bounded by span × ticksPerDay, not by turn count (the
+  * grid is the same size however many raw turns fall in it).
   */
 object Sri {
+
+  /** Two-level dense tick grid: input (e, lo, hi) tick spans → one row per
+    * (e, tick) for every tick in [lo, hi]. Level 1 explodes day-sized chunk
+    * indices, level 2 the ticks within a chunk clipped to the span — so no
+    * single Generate materializes a whole span. Ticks must be non-negative. */
+  private def denseTickGrid(span: DataFrame, tickSeconds: Int): DataFrame = {
+    val chunk = math.max(86400L / tickSeconds, 1L) // ≈ one day of ticks
+    span
+      .selectExpr("e", "lo", "hi", s"explode(sequence(lo div $chunk, hi div $chunk)) AS c")
+      .selectExpr("e",
+        s"explode(sequence(greatest(lo, c * $chunk), least(hi, c * $chunk + ${chunk - 1}))) AS tick")
+  }
+
+  /** Per-tick activity status on the dense grid: 1 = at least one source
+    * row in the tick, 0 = gap (shared by both activityRegularity forms). */
+  private def activityStatusGrid(
+      turns: DataFrame,
+      entity: Column,
+      ts: Column,
+      tickSeconds: Int): DataFrame = {
+    val active = turns
+      .select(entity.as("e"), (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long").as("tick"))
+      .groupBy(col("e"), col("tick"))
+      .agg(lit(1).as("st"))
+    val span = active.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
+    denseTickGrid(span, tickSeconds)
+      .join(active, Seq("e", "tick"), "left")
+      .select(col("e"), col("tick"), coalesce(col("st"), lit(0)).as("status"))
+  }
 
   /** Reference SRI score over a status series: 200·mean(agree)−100. */
   private def score(statusOrdered: DataFrame, entity: Column, lagTicks: Int): DataFrame = {
@@ -65,8 +97,7 @@ object Sri {
       .where(col("_rn") === 1)
       .select(col("e"), col("tick"), col("st"))
     val span = deduped.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
-    val grid = span.select(col("e"), explode(sequence(col("lo"), col("hi"))).as("tick"))
-    val filled = grid
+    val filled = denseTickGrid(span, tickSeconds)
       .join(deduped, Seq("e", "tick"), "left")
       .withColumn("status", coalesce(col("st"), lit(fillStatus)))
     score(filled.select(col("e"), col("tick"), col("status")), col("e"), lagTicks)
@@ -99,19 +130,9 @@ object Sri {
       ts: Column,
       tickSeconds: Int,
       lagTicks: Int,
-      bucketSeconds: Long): DataFrame = {
-    val active = turns
-      .select(entity.as("e"), (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long").as("tick"))
-      .groupBy(col("e"), col("tick"))
-      .agg(lit(1).as("st"))
-    val span = active.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
-    val grid = span.select(col("e"), explode(sequence(col("lo"), col("hi"))).as("tick"))
-    val filled = grid
-      .join(active, Seq("e", "tick"), "left")
-      .withColumn("status", coalesce(col("st"), lit(0)))
-    scoreBucketed(filled.select(col("e"), col("tick"), col("status")), col("e"),
+      bucketSeconds: Long): DataFrame =
+    scoreBucketed(activityStatusGrid(turns, entity, ts, tickSeconds), col("e"),
       tickSeconds, lagTicks, bucketSeconds)
-  }
 
   /** Transcripts instantiation: per-tick activity status (1 = at least one
     * turn in the tick) on a dense grid spanning each entity's first..last
@@ -121,16 +142,6 @@ object Sri {
       entity: Column,
       ts: Column,
       tickSeconds: Int,
-      lagTicks: Int): DataFrame = {
-    val active = turns
-      .select(entity.as("e"), (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long").as("tick"))
-      .groupBy(col("e"), col("tick"))
-      .agg(lit(1).as("st"))
-    val span = active.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
-    val grid = span.select(col("e"), explode(sequence(col("lo"), col("hi"))).as("tick"))
-    val filled = grid
-      .join(active, Seq("e", "tick"), "left")
-      .withColumn("status", coalesce(col("st"), lit(0)))
-    score(filled.select(col("e"), col("tick"), col("status")), col("e"), lagTicks)
-  }
+      lagTicks: Int): DataFrame =
+    score(activityStatusGrid(turns, entity, ts, tickSeconds), col("e"), lagTicks)
 }

@@ -65,6 +65,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -72,9 +74,9 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double x = (double) $a.$aGet($i);
-         |  final double y = (double) $b.$bGet($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  final double $x = (double) $a.$aGet($i);
+         |  final double $y = (double) $b.$bGet($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = ($na > 0.0 && $nb > 0.0) ? $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)) : 0.0;
        """.stripMargin

@@ -68,6 +68,16 @@ class PlanSpec extends SparkSpec {
     assert(canon(t1d) == canon(ref))
   }
 
+  test("retention/eligibility joins carry no broadcast hint on an unbounded per-entity side") {
+    // a forced broadcast of a per-entity aggregate OOMs at 10^8+ entities;
+    // the plan must leave the strategy to AQE (hint-free logical plan)
+    for (q <- Seq("q_retention_14d", "q_eligibility")) {
+      val lp = Queries.queries(q)(spark, dir).queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint") && !lp.contains("UnresolvedHint"),
+        s"$q must not force a broadcast:\n${lp.take(1500)}")
+    }
+  }
+
   test("rollup stays inside whole-stage codegen (no UDFs in the hot path)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val df = Rollup.rollupRaw(ev, col("user_id"), col("ts"), col("value"), "1 minute")
@@ -75,6 +85,33 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"expected codegen stage markers in final plan:\n${p.take(2000)}")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "hot path must be UDF-free")
+  }
+
+  test("dense grid is two-level: days then ticks, identical points to a single-span sequence") {
+    import graft.operators.{GapFill, Rollup}
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val t1h = Rollup.finalized(Rollup.rollupRaw(ev, col("user_id"), col("ts"), col("value"), "1 hour"))
+      .select(col("conv_id"), col("bucket_start"), col("n_rows"))
+    val grid = GapFill.denseGrid(t1h, "1 HOUR")
+    // plan shape: two Generate (explode) levels — never one whole-span explode
+    val nGen = plan(grid).linesIterator.count(_.contains("Generate "))
+    assert(nGen == 2, s"expected day+tick Generate pair, got $nGen")
+    // points identical to the naive single sequence(lo, hi, interval)
+    val span = t1h.groupBy(col("conv_id"))
+      .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
+    val naive = span.select(col("conv_id"),
+      explode(expr("sequence(lo, hi, INTERVAL 1 HOUR)")).as("bucket_start"))
+    assert(grid.select("conv_id", "bucket_start").exceptAll(naive).isEmpty)
+    assert(naive.exceptAll(grid.select("conv_id", "bucket_start")).isEmpty)
+    assert(grid.count() == naive.count())
+  }
+
+  test("SRI activity grid is two-level (day-chunked tick explode)") {
+    import graft.operators.Sri
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val sri = Sri.activityRegularity(ev, col("user_id"), col("ts"), tickSeconds = 300, lagTicks = 288)
+    val nGen = plan(sri).linesIterator.count(_.contains("Generate "))
+    assert(nGen == 2, s"expected chunk+tick Generate pair, got $nGen")
   }
 
   test("gap-fill grid join co-partitions (no redundant exchange between join and window)") {

@@ -17,15 +17,25 @@ class ReferenceParitySpec extends SparkSpec {
       .toDF("conv_id", "log_id", "idx", "v")
       .withColumn("ts", to_timestamp(lit("2025-01-01 00:00:00")) + expr("make_interval(0,0,0,0,0,0,idx*30)"))
 
-  test("W1 NumAwakenings: transitions into wake, trailing wake excluded (daily-measures.R:110-125)") {
-    // l l w l l w w  → wake runs at idx2 and idx5-6; trailing run (5,6) excluded → 1
-    val got = Episodes.transitionsInto(seqDf("llwllww"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "w")
-    assert(got.head().getAs[Long]("n_transitions") == 1L)
+  test("W1 NumAwakenings: drop only last row if wake, then count X→wake (daily-measures.R:110-125)") {
+    def awak(stages: String): Long = {
+      val r = Episodes.transitionsInto(seqDf(stages), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "w")
+      if (r.isEmpty) 0L else r.head().getAs[Long]("n_transitions")
+    }
+    // l l w l l w w → drop last w, remaining llwllw: l→w at idx1→2 and
+    // idx4→5 both count → 2 (the reference counts the transition into a
+    // trailing run unless it is directly into the dropped final row)
+    assert(awak("llwllww") == 2L)
+    // l w: drop trailing w → single l, no transition
+    assert(awak("lw") == 0L)
+    // l w w: drop last w → lw → 1
+    assert(awak("lww") == 1L)
     // l w l w l → two wake runs, none trailing → 2
-    val got2 = Episodes.transitionsInto(seqDf("lwlwl"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "w")
-    assert(got2.head().getAs[Long]("n_transitions") == 2L)
+    assert(awak("lwlwl") == 2L)
+    // last row non-wake: nothing dropped; l w l → 1
+    assert(awak("lwl") == 1L)
     // all wake → no transitions (group absent)
-    assert(Episodes.transitionsInto(seqDf("www"), Seq($"conv_id", $"log_id"), Seq($"idx"), $"v" === "w").count() == 0)
+    assert(awak("www") == 0L)
   }
 
   test("W2 REM fragmentation numerator: rem→non-rem transitions (daily-measures.R:166-181)") {
