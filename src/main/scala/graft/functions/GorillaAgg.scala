@@ -24,16 +24,22 @@ final case class GPoint(ts_us: Long, v: Double)
   * Registered via functions.udaf → runs as a TypedImperativeAggregate:
   * the buffer lives as a JVM object inside ObjectHashAggregate and is
   * serialized only at partial-output boundaries.
+  *
+  * Inputs are BOXED and null/NaN rows are skipped inside reduce() (na.rm
+  * parity — nulls are not representable in a block), so the aggregate can
+  * sit in the SAME groupBy().agg(...) as the stat-block aggregates without
+  * a row filter — one scan, one shuffle, no stat/gorilla join (TierStore).
   */
-class GorillaAggregator extends Aggregator[(Long, Double), GBuf, Array[Byte]] {
+class GorillaAggregator extends Aggregator[(java.lang.Long, java.lang.Double), GBuf, Array[Byte]] {
 
   override def zero: GBuf = GBuf(new Array[Long](8), new Array[Double](8), 0)
 
-  override def reduce(b: GBuf, a: (Long, Double)): GBuf = {
+  override def reduce(b: GBuf, a: (java.lang.Long, java.lang.Double)): GBuf = {
+    if (a._1 == null || a._2 == null || a._2.doubleValue().isNaN) return b
     val g = if (b.n < b.ts.length) b
     else GBuf(java.util.Arrays.copyOf(b.ts, b.n * 2), java.util.Arrays.copyOf(b.vs, b.n * 2), b.n)
-    g.ts(g.n) = a._1
-    g.vs(g.n) = a._2
+    g.ts(g.n) = a._1.longValue()
+    g.vs(g.n) = a._2.doubleValue()
     g.copy(n = g.n + 1)
   }
 
@@ -62,9 +68,11 @@ class GorillaAggregator extends Aggregator[(Long, Double), GBuf, Array[Byte]] {
 
 object GorillaAgg {
 
-  /** Column-level aggregate: gorilla block of (unix_micros(ts), value). */
+  /** Column-level aggregate: gorilla block of (unix_micros(ts), value).
+    * Null/NaN input rows are skipped (boxed encoders), so no pre-filter is
+    * needed and the aggregate fuses with stat-block aggregates. */
   def gorillaBlock(tsUs: Column, value: Column): Column = {
-    val agg = udaf(new GorillaAggregator, Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val agg = udaf(new GorillaAggregator, Encoders.tuple(Encoders.LONG, Encoders.DOUBLE))
     agg(tsUs, value)
   }
 

@@ -1,9 +1,15 @@
 package graft.operators
 
+import java.io.{InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,9 +36,12 @@ import graft.sources.IceTable
   * half-visible day.
   *
   * Scale: each day scans ONLY the raw files overlapping that day (IceTable
-  * stat pruning). On a 1000-executor cluster work units are submitted as
-  * independent jobs (optionally concurrently); within a unit the rollup is
-  * the ordinary distributed hash aggregate.
+  * stat pruning). Work units are INDEPENDENT Spark jobs submitted from a
+  * bounded thread pool (`parallelism`) — on a 1000-executor cluster this
+  * keeps the cluster busy while one day's final stage drains, and at years
+  * of history it removes the serial per-day driver latency. All checkpoint
+  * and output I/O goes through the Hadoop FileSystem API, so the build
+  * works against HDFS/object storage, not just the local filesystem.
   */
 object CheckpointedRollup {
 
@@ -52,7 +61,7 @@ object CheckpointedRollup {
   }
 
   private def markerPath(outDir: String, dayUs: Long) =
-    Paths.get(outDir, "_checkpoints", s"day-$dayUs.json")
+    new Path(outDir, s"_checkpoints/day-$dayUs.json")
 
   /** Deterministic fingerprint of the source files overlapping a day. */
   def dayFingerprint(source: IceTable, dayUs: Long): Long = {
@@ -64,44 +73,64 @@ object CheckpointedRollup {
     }
   }
 
-  def isDone(outDir: String, dayUs: Long, fingerprint: Long): Boolean = {
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = new InputStreamReader(fs.open(p), StandardCharsets.UTF_8)
+    try {
+      val sb = new StringBuilder
+      val buf = new Array[Char](4096)
+      var n = in.read(buf)
+      while (n >= 0) { sb.appendAll(buf, 0, n); n = in.read(buf) }
+      sb.toString
+    } finally in.close()
+  }
+
+  def isDone(spark: SparkSession, outDir: String, dayUs: Long, fingerprint: Long): Boolean = {
     val p = markerPath(outDir, dayUs)
-    Files.exists(p) && {
-      val n = mapper.readTree(Files.readAllBytes(p))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val n = mapper.readTree(readFully(fs, p))
       n.has("source_files_fp") && n.get("source_files_fp").asLong == fingerprint
     }
   }
 
   /** Run (or resume) the tier build. `failAfter` injects a crash after N
-    * completed units — used by the resume tests. Returns per-day results. */
+    * completed units — used by the resume tests (only meaningful with
+    * parallelism=1). `parallelism` bounds how many day jobs are in flight
+    * concurrently (independent Spark jobs; results are per-day and order-
+    * independent). Returns per-day results in day order. */
   def run(
       spark: SparkSession,
       source: IceTable,
       outDir: String,
       value: Column,
       interval: String = "1 minute",
-      failAfter: Option[Int] = None): Seq[DayResult] = {
+      failAfter: Option[Int] = None,
+      parallelism: Int = 1): Seq[DayResult] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(outDir).getFileSystem(conf)
     val snapId = source.currentSnapshotId
-    Files.createDirectories(Paths.get(outDir, "_checkpoints"))
-    var done = 0
-    pendingDays(source).map { dayUs =>
+    fs.mkdirs(new Path(outDir, "_checkpoints"))
+    val done = new AtomicInteger(0)
+
+    def runDay(dayUs: Long): DayResult = {
       val fp = dayFingerprint(source, dayUs)
-      if (isDone(outDir, dayUs, fp)) DayResult(dayUs, 0L, 0L, skipped = true)
+      if (isDone(spark, outDir, dayUs, fp)) DayResult(dayUs, 0L, 0L, skipped = true)
       else {
-        failAfter.foreach(k => if (done >= k) throw new RuntimeException(s"injected failure after $k units"))
+        failAfter.foreach(k =>
+          if (done.get() >= k) throw new RuntimeException(s"injected failure after $k units"))
         val t0 = System.nanoTime()
         val raw = source
           .scan(spark, dayUs, dayUs + DayUs - 1)
           .where(col("ts") >= timestamp_micros(lit(dayUs)) && col("ts") < timestamp_micros(lit(dayUs + DayUs)))
         val tier = Rollup.rollupRaw(raw, col("conv_id"), col("ts"), value, interval)
-        val dayDir = Paths.get(outDir, s"day=$dayUs")
-        val tmpDir = Paths.get(outDir, s".day-$dayUs.tmp")
-        if (Files.exists(tmpDir)) deleteRec(tmpDir)
+        val dayDir = new Path(outDir, s"day=$dayUs")
+        val tmpDir = new Path(outDir, s".day-$dayUs.tmp")
         tier.write.mode("overwrite").parquet(tmpDir.toString)
-        if (Files.exists(dayDir)) deleteRec(dayDir)
-        Files.move(tmpDir, dayDir, StandardCopyOption.ATOMIC_MOVE)
+        if (fs.exists(dayDir)) fs.delete(dayDir, true)
+        if (!fs.rename(tmpDir, dayDir))
+          throw new IllegalStateException(s"checkpoint commit: rename $tmpDir -> $dayDir failed")
         val rows = spark.read.parquet(dayDir.toString).count()
-        val bytes = dirBytes(dayDir)
+        val bytes = fs.getContentSummary(dayDir).getLength
         val node = mapper.createObjectNode()
         node.put("source_snapshot_id", snapId)
         node.put("source_files_fp", fp)
@@ -110,24 +139,23 @@ object CheckpointedRollup {
         node.put("rows", rows)
         node.put("bytes", bytes)
         node.put("wall_ms", (System.nanoTime() - t0) / 1000000)
-        val tmp = Paths.get(outDir, "_checkpoints", s".day-$dayUs.tmp")
-        Files.write(tmp, mapper.writeValueAsBytes(node))
-        Files.move(tmp, markerPath(outDir, dayUs), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        done += 1
+        val tmp = new Path(outDir, s"_checkpoints/.day-$dayUs.tmp")
+        val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
+        try out.write(mapper.writeValueAsString(node)) finally out.close()
+        FileContext.getFileContext(new Path(outDir).toUri, conf)
+          .rename(tmp, markerPath(outDir, dayUs), Options.Rename.OVERWRITE)
+        done.incrementAndGet()
         DayResult(dayUs, rows, bytes, skipped = false)
       }
     }
-  }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
-    finally s.close()
-  }
-
-  private def dirBytes(p: java.nio.file.Path): Long = {
-    val s = Files.walk(p)
-    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
-    finally s.close()
+    val days = pendingDays(source)
+    if (parallelism <= 1) days.map(runDay)
+    else {
+      val pool = Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.traverse(days)(d => Future(runDay(d))), Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 }

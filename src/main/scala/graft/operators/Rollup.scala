@@ -44,7 +44,7 @@ object Rollup {
     * null BEFORE accumulation (reference na_if(., NaN),
     * /root/reference/scripts/daily-measures.R:225). `circular` is the column
     * whose circular stats we track (e.g. time-of-day hours). */
-  private def blockAggs(value: Column, circular: Column): Seq[Column] = {
+  private[graft] def blockAggs(value: Column, circular: Column): Seq[Column] = {
     val v = nanvl(value, lit(null))
     val theta = circular * lit(2.0 * math.Pi / CircularPeriodHours)
     Seq(
@@ -79,6 +79,43 @@ object Rollup {
     val aggs = blockAggs(value, todHours(ts))
     raw
       .groupBy(entity.as("conv_id") +: window(ts, interval).as("w") +: extraKeys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_start", col("w.start"))
+      .drop("w")
+  }
+
+  /** rollupRaw + a Gorilla block of each bucket's raw (ts µs, value) points
+    * in the SAME aggregate — one scan, one shuffle, and no stat/gorilla
+    * join (the gorilla UDAF skips null/NaN rows itself, so the stat counts
+    * and the block see the same input rows). The aggregate runs as
+    * ObjectHashAggregate (typed buffer) with partial+final phases. */
+  def rollupRawWithGorilla(
+      raw: DataFrame,
+      entity: Column,
+      ts: Column,
+      value: Column,
+      interval: String): DataFrame = {
+    val aggs = blockAggs(value, todHours(ts)) :+
+      graft.functions.GorillaAgg
+        .gorillaBlock(unix_micros(ts.cast("timestamp")), value.cast("double"))
+        .as("gblock")
+    raw
+      .groupBy(entity.as("conv_id"), window(ts, interval).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_start", col("w.start"))
+      .drop("w")
+  }
+
+  /** Tier merge + a Gorilla block of the CHILD tier's (bucket µs, sum)
+    * series per coarse bucket — each level exactly reconstructable one
+    * level down, still one aggregate (see rollupRawWithGorilla). */
+  def rollupTierWithGorilla(tier: DataFrame, interval: String): DataFrame = {
+    val aggs = mergeAggs :+
+      graft.functions.GorillaAgg
+        .gorillaBlock(unix_micros(col("bucket_start").cast("timestamp")), col("sum"))
+        .as("gblock")
+    tier
+      .groupBy(col("conv_id"), window(col("bucket_start"), interval).as("w"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_start", col("w.start"))
       .drop("w")

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GorillaAgg
 import graft.sources.IceTable
 
 /** The assembled north-star pipeline: raw transcripts IceTable →
@@ -24,24 +23,15 @@ import graft.sources.IceTable
   * each tier's file stats.
   *
   * Scale: one job per tier level; tier N+1 reads ONLY tier N (never raw);
-  * stat pruning on the source bounds incremental runs to changed days
-  * (pair with CheckpointedRollup for resumability).
+  * each level is ONE fused aggregate computing the stat block AND the
+  * Gorilla block together (Rollup.rollup*WithGorilla) — no double scan and
+  * no stat/gorilla join per tier. Stat pruning on the source bounds
+  * incremental runs to changed days (pair with CheckpointedRollup for
+  * resumability).
   */
 object TierStore {
 
   final case class TierTables(t1m: IceTable, t1h: IceTable, t1d: IceTable)
-
-  private def withGorilla(
-      grouped: DataFrame,
-      src: DataFrame,
-      entity: Column,
-      ts: Column,
-      value: Column,
-      interval: String): DataFrame = {
-    val g = GorillaAgg.compressedTier(src, entity, ts, value, interval)
-      .select(col("conv_id"), col("bucket_start"), col("block").as("gblock"))
-    grouped.join(g, Seq("conv_id", "bucket_start"), "left")
-  }
 
   /** Build (or rebuild) the three tier tables under `root`/{1m,1h,1d}. */
   def build(
@@ -52,25 +42,16 @@ object TierStore {
     val raw = source.scan(spark)
     val withVal = raw.withColumn("_v", value)
 
-    val t1mDf = withGorilla(
-      Rollup.rollupRaw(withVal, col("conv_id"), col("ts"), col("_v"), "1 minute"),
-      withVal, col("conv_id"), col("ts"), col("_v"), "1 minute")
     val t1m = IceTable(s"$root/1m")
-    t1m.append(t1mDf, "bucket_start")
+    t1m.append(
+      Rollup.rollupRawWithGorilla(withVal, col("conv_id"), col("ts"), col("_v"), "1 minute"),
+      "bucket_start")
 
-    val t1mBack = t1m.scan(spark)
-    val t1hDf = withGorilla(
-      Rollup.rollupTier(t1mBack, "1 hour"),
-      t1mBack, col("conv_id"), col("bucket_start"), col("sum"), "1 hour")
     val t1h = IceTable(s"$root/1h")
-    t1h.append(t1hDf, "bucket_start")
+    t1h.append(Rollup.rollupTierWithGorilla(t1m.scan(spark), "1 hour"), "bucket_start")
 
-    val t1hBack = t1h.scan(spark)
-    val t1dDf = withGorilla(
-      Rollup.rollupTier(t1hBack, "1 day"),
-      t1hBack, col("conv_id"), col("bucket_start"), col("sum"), "1 day")
     val t1d = IceTable(s"$root/1d")
-    t1d.append(t1dDf, "bucket_start")
+    t1d.append(Rollup.rollupTierWithGorilla(t1h.scan(spark), "1 day"), "bucket_start")
 
     TierTables(t1m, t1h, t1d)
   }

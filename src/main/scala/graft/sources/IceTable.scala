@@ -1,12 +1,14 @@
 package graft.sources
 
+import java.io.{InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,76 +33,159 @@ import org.apache.spark.sql.functions._
   * Provenance parity: the reference records executed=/used= lineage on
   * every egress (/root/reference/scripts/daily-measures.R:242-251) — here
   * it is the snapshot log itself.
+  *
+  * Commit protocol (crash-safe, single-writer):
+  *   - data is written to a hidden temp dir and RENAMED into
+  *     data/snap-<id> before any metadata references it;
+  *   - the snapshot JSON is written next; the commit point is the atomic
+  *     overwrite-rename of CURRENT — a crash at any earlier step leaves
+  *     only invisible orphans, and `nextId` (max over CURRENT, snapshot
+  *     files, and data dirs) guarantees a retry never collides with them;
+  *   - appends may carry an idempotency `key` (recorded in the snapshot):
+  *     re-appending a committed key is a no-op returning the original id —
+  *     this is what makes at-least-once streaming foreachBatch replays
+  *     exactly-once (StreamTier keys each micro-batch by its epoch).
+  *
+  * All I/O goes through the Hadoop FileSystem API, so the table works on
+  * any Hadoop-supported storage (local file://, HDFS, object stores with a
+  * rename-capable committer), not just the local filesystem.
   */
 final class IceTable(val root: String) {
   private val mapper = new ObjectMapper()
-  private def snapDir: Path = Paths.get(root, "snapshots")
-  private def currentFile: Path = Paths.get(root, "CURRENT")
+
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def rootPath = new Path(root)
+  private lazy val fs: FileSystem = rootPath.getFileSystem(hadoopConf)
+  private def snapDir = new Path(root, "snapshots")
+  private def dataDir = new Path(root, "data")
+  private def currentFile = new Path(root, "CURRENT")
 
   case class FileEntry(path: String, rows: Long, bytes: Long, minTsUs: Long, maxTsUs: Long)
-  case class Snapshot(id: Long, parentId: Long, op: String, files: Seq[FileEntry])
+  case class Snapshot(id: Long, parentId: Long, op: String, files: Seq[FileEntry], key: Option[String] = None)
+
+  private def readFully(p: Path): String = {
+    val in = new InputStreamReader(fs.open(p), StandardCharsets.UTF_8)
+    try {
+      val sb = new StringBuilder
+      val buf = new Array[Char](4096)
+      var n = in.read(buf)
+      while (n >= 0) { sb.appendAll(buf, 0, n); n = in.read(buf) }
+      sb.toString
+    } finally in.close()
+  }
+
+  /** Write `content` to `dst` atomically: temp file + overwrite-rename
+    * (FileContext rename is atomic on HDFS and local FS). */
+  private def atomicWrite(dst: Path, content: String): Unit = {
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp-${System.nanoTime()}")
+    val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
+    try out.write(content) finally out.close()
+    val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
 
   def currentSnapshotId: Long =
-    if (Files.exists(currentFile)) new String(Files.readAllBytes(currentFile), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    if (fs.exists(currentFile)) readFully(currentFile).trim.toLong else 0L
 
   def snapshot(id: Long): Option[Snapshot] = {
-    val p = snapDir.resolve(f"v$id%05d.json")
-    if (!Files.exists(p)) None
+    val p = new Path(snapDir, f"v$id%05d.json")
+    if (!fs.exists(p)) None
     else {
-      val n = mapper.readTree(Files.readAllBytes(p))
+      val n = mapper.readTree(readFully(p))
       val files = n.get("files").elements().asScala.map { f =>
         FileEntry(f.get("path").asText, f.get("rows").asLong, f.get("bytes").asLong,
           f.get("min_ts_us").asLong, f.get("max_ts_us").asLong)
       }.toSeq
-      Some(Snapshot(n.get("id").asLong, n.get("parent_id").asLong, n.get("op").asText, files))
+      val key = Option(n.get("key")).filterNot(_.isNull).map(_.asText)
+      Some(Snapshot(n.get("id").asLong, n.get("parent_id").asLong, n.get("op").asText, files, key))
     }
   }
 
   def current: Option[Snapshot] = snapshot(currentSnapshotId)
 
+  /** Next free snapshot id: above CURRENT and above any orphan snapshot
+    * file or data dir left by a crashed commit (retries never collide). */
+  private def nextId: Long = {
+    def maxId(dir: Path, prefix: String, suffix: String): Long =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).stripSuffix(suffix).toLong).toOption)
+        .foldLeft(0L)(math.max)
+    math.max(currentSnapshotId, math.max(maxId(snapDir, "v", ".json"), maxId(dataDir, "snap-", ""))) + 1
+  }
+
   private def writeSnapshot(s: Snapshot): Unit = {
-    Files.createDirectories(snapDir)
+    fs.mkdirs(snapDir)
     val node: ObjectNode = mapper.createObjectNode()
     node.put("id", s.id)
     node.put("parent_id", s.parentId)
     node.put("op", s.op)
+    s.key.foreach(node.put("key", _))
     val arr: ArrayNode = node.putArray("files")
     s.files.foreach { f =>
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
       fn.put("min_ts_us", f.minTsUs); fn.put("max_ts_us", f.maxTsUs)
     }
-    Files.write(snapDir.resolve(f"v${s.id}%05d.json"), mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(node))
-    // commit = atomic rename of CURRENT
-    val tmp = Paths.get(root, s".CURRENT.tmp${s.id}")
-    Files.write(tmp, s.id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    atomicWrite(new Path(snapDir, f"v${s.id}%05d.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+    // commit point: atomic overwrite-rename of CURRENT
+    atomicWrite(currentFile, s.id.toString)
   }
 
-  /** Append a DataFrame as a new snapshot. `tsCol` drives per-file min/max
-    * stats (collected from the written files' own footless re-scan; a real
-    * deployment captures these in the commit protocol — same semantics). */
-  def append(df: DataFrame, tsCol: String): Long = {
-    val spark = df.sparkSession
-    val id = currentSnapshotId + 1
-    val dir = Paths.get(root, "data", f"snap-$id%05d").toString
-    df.write.mode("errorifexists").parquet(dir)
-    val stats = spark.read.parquet(dir)
+  /** Per-file (rows, min ts, max ts, bytes) stats of a committed data dir. */
+  private def statsOf(spark: SparkSession, dir: Path, tsCol: String): Seq[FileEntry] = {
+    val rows = spark.read.parquet(dir.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"),
         min(unix_micros(col(tsCol).cast("timestamp"))).as("lo"),
         max(unix_micros(col(tsCol).cast("timestamp"))).as("hi"))
       .collect()
-    val entries = stats.map { r =>
-      val uri = new java.net.URI(r.getAs[String]("f"))
-      val p = Paths.get(uri.getPath)
-      FileEntry(p.toString, r.getAs[Long]("rows"), Files.size(p), r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+    rows.map { r =>
+      val p = new Path(new java.net.URI(r.getAs[String]("f")))
+      FileEntry(p.toString, r.getAs[Long]("rows"), fs.getFileStatus(p).getLen,
+        r.getAs[Long]("lo"), r.getAs[Long]("hi"))
     }.toSeq
-    val prev = current.map(_.files).getOrElse(Nil)
-    writeSnapshot(Snapshot(id, id - 1, "append", prev ++ entries))
-    id
   }
+
+  /** Write df's files and move them into data/snap-<id>; returns (id, dir). */
+  private def commitDataDir(df: DataFrame): (Long, Path) = {
+    val tmp = new Path(dataDir, s".tmp-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val id = nextId
+    val dir = new Path(dataDir, f"snap-$id%05d")
+    if (!fs.rename(tmp, dir))
+      throw new IllegalStateException(s"IceTable commit: rename $tmp -> $dir failed")
+    (id, dir)
+  }
+
+  /** Latest committed append snapshot carrying `key`, walking the lineage
+    * chain from CURRENT (idempotency lookup). */
+  def appendIdForKey(key: String): Option[Long] = {
+    Iterator.iterate(current)(s => s.flatMap(x => snapshot(x.parentId)))
+      .takeWhile(_.isDefined)
+      .flatten
+      .collectFirst { case s if s.op == "append" && s.key.contains(key) => s.id }
+  }
+
+  /** Append a DataFrame as a new snapshot. `tsCol` drives per-file min/max
+    * stats. `key` (optional) makes the append idempotent: if a committed
+    * append already carries the key, nothing is written and its id is
+    * returned — the contract streaming foreachBatch replays rely on. */
+  def append(df: DataFrame, tsCol: String, key: Option[String] = None): Long =
+    key.flatMap(appendIdForKey).getOrElse {
+      val parent = currentSnapshotId
+      val (id, dir) = commitDataDir(df)
+      val entries = statsOf(df.sparkSession, dir, tsCol)
+      val prev = current.map(_.files).getOrElse(Nil)
+      writeSnapshot(Snapshot(id, parent, "append", prev ++ entries, key))
+      id
+    }
 
   /** Scan the current snapshot, optionally pruned to files overlapping
     * [loUs, hiUs] via manifest stats (no parquet touched outside range). */
@@ -117,9 +202,10 @@ final class IceTable(val root: String) {
     * with a filter at read time or a rewrite; tier buckets align to file
     * boundaries in practice so straddlers are rare. Returns new snapshot id. */
   def expireOlderThan(cutoffUs: Long): Long = {
-    val id = currentSnapshotId + 1
+    val parent = currentSnapshotId
     val kept = current.map(_.files).getOrElse(Nil).filter(_.maxTsUs >= cutoffUs)
-    writeSnapshot(Snapshot(id, id - 1, "expire", kept))
+    val id = nextId
+    writeSnapshot(Snapshot(id, parent, "expire", kept))
     id
   }
 
@@ -129,21 +215,10 @@ final class IceTable(val root: String) {
     * `expireOlderThan`-style manifest pruning governs logical visibility.
     * Rows and their `tsCol` stats are preserved exactly. */
   def rewriteCompact(spark: SparkSession, tsCol: String, targetFiles: Int = 1): Long = {
+    val parent = currentSnapshotId
     val df = scan(spark).coalesce(math.max(targetFiles, 1))
-    val id = currentSnapshotId + 1
-    val dir = Paths.get(root, "data", f"snap-$id%05d").toString
-    df.write.mode("errorifexists").parquet(dir)
-    val stats = spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"),
-        min(unix_micros(col(tsCol).cast("timestamp"))).as("lo"),
-        max(unix_micros(col(tsCol).cast("timestamp"))).as("hi"))
-      .collect()
-    val entries = stats.map { r =>
-      val p = Paths.get(new java.net.URI(r.getAs[String]("f")).getPath)
-      FileEntry(p.toString, r.getAs[Long]("rows"), Files.size(p), r.getAs[Long]("lo"), r.getAs[Long]("hi"))
-    }.toSeq
-    writeSnapshot(Snapshot(id, id - 1, "rewrite", entries))
+    val (id, dir) = commitDataDir(df)
+    writeSnapshot(Snapshot(id, parent, "rewrite", statsOf(spark, dir, tsCol)))
     id
   }
 

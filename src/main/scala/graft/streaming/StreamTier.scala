@@ -26,23 +26,14 @@ import org.apache.spark.sql.Row
   */
 object StreamTier {
 
-  /** The streaming analog of Rollup.rollupRaw (same block schema). */
+  /** The streaming analog of Rollup.rollupRaw: the SAME block aggregates
+    * (shared with the batch path — no drift) behind a watermark. */
   def tierAggregate(stream: DataFrame, value: Column, interval: String, lateness: String): DataFrame = {
-    val v = nanvl(value, lit(null))
-    val theta = ((hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts"))) / 3600.0) *
-      lit(2.0 * math.Pi / graft.operators.Rollup.CircularPeriodHours)
+    val aggs = graft.operators.Rollup.blockAggs(value, graft.operators.Rollup.todHours(col("ts")))
     stream
       .withWatermark("ts", lateness)
       .groupBy(col("conv_id"), window(col("ts"), interval).as("w"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        count(v).as("n_vals"),
-        coalesce(sum(v), lit(0.0)).as("sum"),
-        coalesce(sum(v * v), lit(0.0)).as("sum_sq"),
-        min(v).as("min"),
-        max(v).as("max"),
-        coalesce(sum(sin(theta)), lit(0.0)).as("sum_sin"),
-        coalesce(sum(cos(theta)), lit(0.0)).as("sum_cos"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_start", col("w.start"))
       .drop("w")
   }
@@ -51,6 +42,9 @@ object StreamTier {
     * head share one store. Each micro-batch commits as an append snapshot
     * (lineage: one snapshot per epoch), so downstream tier builds and
     * retention actions see streaming data exactly like batch data.
+    * foreachBatch is at-least-once on restart, so each append is keyed by
+    * (checkpoint, epoch id) — IceTable's idempotent-append contract turns
+    * replays into no-ops (no duplicate snapshots, no wedged table).
     * Returns the started query; await/stop is the caller's. */
   def intoIceTable(
       spark: SparkSession,
@@ -68,9 +62,10 @@ object StreamTier {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
-          graft.sources.IceTable(tableRoot).append(batch, "bucket_start"): Unit
+          graft.sources.IceTable(tableRoot)
+            .append(batch, "bucket_start", key = Some(s"$checkpoint#epoch-$epochId")): Unit
         }
       }
       .start()

@@ -31,6 +31,36 @@ class IceTableSpec extends SparkSpec {
     assert(t.snapshot(1).get.files.map(_.rows).sum == half1.count())
   }
 
+  test("keyed append is idempotent: replaying an epoch is a no-op") {
+    val t = IceTable(tmp("ice"))
+    val half1 = turnsDf.where($"turn_idx" % 2 === 0)
+    val half2 = turnsDf.where($"turn_idx" % 2 === 1)
+    val id1 = t.append(half1, "ts", key = Some("ck#epoch-0"))
+    // at-least-once replay of the same micro-batch: must not duplicate rows
+    val replay = t.append(half1, "ts", key = Some("ck#epoch-0"))
+    assert(replay == id1, "replayed epoch must return the original snapshot id")
+    assert(t.currentSnapshotId == id1)
+    assert(t.scan(spark).count() == half1.count())
+    // a NEW epoch still appends
+    val id2 = t.append(half2, "ts", key = Some("ck#epoch-1"))
+    assert(id2 > id1)
+    assert(t.scan(spark).count() == turnsDf.count())
+    // and the key survives in the snapshot log (lineage/audit)
+    assert(t.snapshot(id2).get.key.contains("ck#epoch-1"))
+  }
+
+  test("orphan data dir from a crashed commit never wedges later appends") {
+    val t = IceTable(tmp("ice"))
+    t.append(turnsDf.where($"turn_idx" % 2 === 0), "ts")
+    // simulate a crash AFTER the data rename but BEFORE the snapshot commit:
+    // an orphan data/snap-00002 exists, CURRENT still points at 1
+    val orphan = new java.io.File(s"${t.root}/data/snap-00002")
+    assert(orphan.mkdirs())
+    val id = t.append(turnsDf.where($"turn_idx" % 2 === 1), "ts")
+    assert(id == 3, s"next append must skip the orphan id, got $id")
+    assert(t.scan(spark).count() == turnsDf.count())
+  }
+
   test("scan prunes files by manifest min/max stats") {
     val t = IceTable(tmp("ice"))
     // two appends with disjoint time ranges → disjoint file stats
@@ -95,6 +125,21 @@ class IceTableSpec extends SparkSpec {
     val b = spark.read.parquet(s"$crashDir/day=*").orderBy("conv_id", "bucket_start").collect()
     assert(a.sameElements(b))
     assert(a.nonEmpty)
+  }
+
+  test("parallel day submission (2 concurrent jobs) matches the serial build") {
+    val t = IceTable(tmp("ice"))
+    t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")
+    val serialDir = tmp("tier-serial")
+    val parDir = tmp("tier-par")
+    CheckpointedRollup.run(spark, t, serialDir, col("text_len"))
+    val res = CheckpointedRollup.run(spark, t, parDir, col("text_len"), parallelism = 2)
+    assert(res.forall(!_.skipped))
+    val a = spark.read.parquet(s"$serialDir/day=*").orderBy("conv_id", "bucket_start").collect()
+    val b = spark.read.parquet(s"$parDir/day=*").orderBy("conv_id", "bucket_start").collect()
+    assert(a.sameElements(b) && a.nonEmpty)
+    // resume over the parallel build still skips everything
+    assert(CheckpointedRollup.run(spark, t, parDir, col("text_len"), parallelism = 2).forall(_.skipped))
   }
 
   test("incremental invalidation: appending data recomputes ONLY the touched days") {

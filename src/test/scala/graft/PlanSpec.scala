@@ -87,6 +87,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "hot path must be UDF-free")
   }
 
+  test("tier level with gorilla is ONE fused aggregate: no stat/gorilla join, one exchange") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = Rollup.rollupRawWithGorilla(ev, col("user_id"), col("ts"), col("value"), "1 minute")
+    val p = plan(df)
+    assert(!p.contains("Join"), s"stat+gorilla must be one aggregate, found a join:\n${p.take(2000)}")
+    val nAgg = p.linesIterator.count(_.contains("Aggregate"))
+    val nExch = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(nAgg == 2, s"expected partial+final aggregate, got $nAgg")
+    assert(nExch == 1, s"expected exactly one shuffle, got $nExch")
+  }
+
   test("dense grid is two-level: days then ticks, identical points to a single-span sequence") {
     import graft.operators.{GapFill, Rollup}
     val ev = spark.read.parquet(s"$dir/events.parquet")
