@@ -672,35 +672,28 @@ object Queries {
           |SELECT doc_id, round((len_score + diversity + punct_penalty + stop_score) / 4.0, 6) AS quality
           |FROM m""".stripMargin))),
 
-    // Character-3-gram Jaccard near-dup, blocked by (source, length band)
-    // (exact within block — the blocking pattern that scales: near-dups
-    // must have similar length, so a 200-char band prunes ~4× the pairs;
-    // LSH variant below).
+    // Character-3-gram Jaccard near-dup inside (source, length-band)
+    // blocks. Block size is CAPPED (1024, ~9× the sf0.1 max of 119, so the
+    // cap changes nothing at oracle scales but bounds a pathological
+    // block's B² pairs at 100 TB); verification is the codegen'd merge-walk
+    // sortedJaccard over 64-bit-hashed sorted shingle sets (one linear pass
+    // per pair — the array_intersect/array_union pair builds hash sets per
+    // candidate and was the old plan's bottleneck). A hash collision would
+    // need two distinct 3-grams in one union to collide in 64 bits (~1e-15
+    // here), so the string-Jaccard oracle still matches exactly. For
+    // unblockable corpora the exact no-key path is
+    // Dedup.prefixJaccardPairs (AllPairs/PPJoin prefix filtering).
     "q_ngram_jaccard_block" -> ((
       (s: SparkSession, dir: String) => {
-        // shingles are 64-bit-hashed (array<bigint> instead of array<string>):
-        // pair rows carry ~3× fewer bytes through the self-join and set ops
-        // compare longs, not UTF8 strings; a hash collision would need two
-        // distinct 3-grams in one union to collide in 64 bits (~1e-15 here),
-        // so the string-Jaccard oracle still matches exactly.
-        val g = wide(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            (col("n_chars") / 200).cast("long").as("len_band"),
-            transform(Dedup.ngramSet(lower(col("text")), 3), sh => xxhash64(sh)).as("ng"))
-        val a = g.select(col("source"), col("len_band"), col("doc_id").as("id_a"), col("ng").as("ng_a"))
-        val b = g.select(col("source").as("source_b"), col("len_band").as("len_band_b"),
-          col("doc_id").as("id_b"), col("ng").as("ng_b"))
-        // distinct column names avoid the same-lineage self-join ambiguity;
-        // id order + exact size-ratio bound (j <= min/max sizes) live in the
-        // JOIN condition, so non-candidate pairs never materialize as rows
-        a.join(b,
-          col("source") === col("source_b") && col("len_band") === col("len_band_b")
-            && col("id_a") < col("id_b")
-            && least(size(col("ng_a")), size(col("ng_b"))).cast("double")
-              / greatest(size(col("ng_a")), size(col("ng_b"))) >= 0.7)
-          .select(col("source"), col("id_a"), col("id_b"),
-            round(Dedup.jaccard(col("ng_a"), col("ng_b")), 6).as("jaccard"))
-          .where(col("jaccard") >= 0.7)
+        Dedup.blockedJaccardPairs(
+          wide(s, dir, "documents"),
+          col("doc_id"),
+          Dedup.ngramSet(lower(col("text")), 3),
+          0.7,
+          blockKeys = Seq("source" -> col("source"),
+            "len_band" -> (col("n_chars") / 200).cast("long")),
+          maxBlockSize = 1024)
+          .select(col("source"), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some(
         """WITH g AS (

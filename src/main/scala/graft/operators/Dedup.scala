@@ -141,6 +141,135 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard pairs WITHIN blocks, with a block-size guard: every pair
+    * of docs sharing the blockKeys whose Jaccard ≥ threshold — computed as
+    * a block self-join with the size-ratio bound in the join condition and
+    * the codegen'd merge-walk verify (SetOps.sortedJaccard) in the output.
+    *
+    * Blocks larger than `maxBlockSize` are DROPPED (a B-member block yields
+    * B² candidate pairs — the standard hot-block guard; same contract as
+    * minhashLshPairs.maxBucketSize). Choose the cap above the expected
+    * block size so it only trips on pathological keys; pass Int.MaxValue
+    * to disable. When blocking keys are unavailable or blocks can grow
+    * unboundedly, prefer `prefixJaccardPairs` (exact, no key needed, no B²
+    * term). Output: (blockKeys..., id_a, id_b, jaccard). */
+  def blockedJaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      shingles: Column,
+      threshold: Double,
+      blockKeys: Seq[(String, Column)],
+      maxBlockSize: Int = 1024): DataFrame = {
+    val keyNames = blockKeys.map(_._1)
+    val hashed = sort_array(transform(shingles, s => xxhash64(s)))
+    val base = docs.select(
+      (id.as("id") +: hashed.as("sh") +: blockKeys.map { case (n, c) => c.as(n) }): _*)
+      .withColumn("n", size(col("sh")))
+    // block-size guard: tiny per-block count aggregate, broadcast back
+    val kept = base.join(
+      broadcast(base.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("_bsz"))
+        .where(col("_bsz") <= maxBlockSize))
+        .select(keyNames.map(col): _*),
+      keyNames)
+    val a = kept.select(
+      (keyNames.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a") :+ col("n").as("n_a")): _*)
+    val b = kept.select(
+      (keyNames.map(k => col(k).as(s"${k}_b")) :+ col("id").as("id_b") :+
+        col("sh").as("sh_b") :+ col("n").as("n_b")): _*)
+    val cond = keyNames
+      .map(k => col(k) === col(s"${k}_b"))
+      .foldLeft(
+        col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= threshold)(_ && _)
+    a.join(b, cond)
+      .select((keyNames.map(col) :+ col("id_a") :+ col("id_b") :+
+        graft.plans.SetOps.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard")): _*)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact set-similarity self-join via PREFIX FILTERING (the AllPairs /
+    * PPJoin candidate scheme: Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW 2007 — public literature). Returns every pair
+    * with Jaccard(sh_a, sh_b) >= threshold, exactly — no blocking key and
+    * no B² all-pairs blowup.
+    *
+    * Why it is exact: order each document's shingles by a GLOBAL total
+    * order (ascending document frequency, ties by value — rarest first).
+    * If J(A,B) ≥ t, the sets must overlap in ≥ t/(1+t)·(|A|+|B|) elements,
+    * so A and B each must contain a shared element within their first
+    * p = |x| − ⌈t·|x|⌉ + 1 ordered elements (we use the safe upper bound
+    * p = |x| − ⌊t·|x|⌋ + 1, immune to FP rounding of t·|x|). Candidates are
+    * therefore EXACTLY the pairs sharing a prefix token — an equi-join on
+    * token — and the exact Jaccard verify keeps only true pairs.
+    *
+    * Scale shape:
+    *   - candidate generation joins only PREFIX tokens (the ~30% rarest
+    *     per doc at t=0.7), and rare-by-construction tokens make small join
+    *     groups — the B² hot-block problem of naive length/source blocking
+    *     disappears;
+    *   - the size-ratio bound least/greatest ≥ t rides the join condition,
+    *     so length-incompatible pairs never materialize;
+    *   - pairs are distinct()-ed before the (expensive) verify join, so
+    *     each pair's Jaccard is computed once.
+    *
+    * Verification uses the codegen'd merge-walk SortedIntersectSize over
+    * sort_array'd shingles plus inclusion-exclusion for the union size
+    * (one O(|A|+|B|) pass per pair, no per-pair hash sets — the built-in
+    * array_intersect/array_union pair is ~5× slower on the verify join).
+    *
+    * `docs` must have one row per id; `shingles` must be DISTINCT elements
+    * (array_distinct — ngramSet/wordShingles guarantee it). `blockKeys`
+    * optionally restricts pairs to equal key values (e.g. same source) and
+    * carries those columns into the output.
+    * Output: (blockKeys..., id_a, id_b, jaccard). */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      shingles: Column,
+      threshold: Double,
+      blockKeys: Seq[(String, Column)] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyNames = blockKeys.map(_._1)
+    // 64-bit-hash the shingles (fixed-width compares downstream; a
+    // collision needs two distinct shingles of one union to collide in 64
+    // bits) and sort for the merge-walk verify; the prefix theorem only
+    // needs SOME consistent global total order, so hashed order is fine
+    val hashed = sort_array(transform(shingles, s => xxhash64(s)))
+    val base = docs.select(
+      (id.as("id") +: hashed.as("sh") +: blockKeys.map { case (n, c) => c.as(n) }): _*)
+      .withColumn("n", size(col("sh")))
+    val tok = base.select(
+      (col("id") +: col("n") +: keyNames.map(col) :+ explode(col("sh")).as("t")): _*)
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // prefix size: safe bound |x| − ⌊t·|x|⌋ + 1 (≥ the tight ⌈⌉ form, so FP
+    // rounding can only ADD a candidate token, never lose a true pair)
+    val p = (col("n") - floor(lit(threshold) * col("n"))).cast("int") + 1
+    val prefix = tok
+      .join(dfreq, Seq("t"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
+      .where(col("rn") <= p)
+      .select((col("t") +: col("id") +: col("n") +: keyNames.map(col)): _*)
+    val a = prefix.select(
+      (col("t") +: col("id").as("id_a") +: col("n").as("n_a") +: keyNames.map(col)): _*)
+    val b = prefix.select(
+      (col("t").as("t_b") +: col("id").as("id_b") +: col("n").as("n_b") +:
+        keyNames.map(k => col(k).as(s"${k}_b"))): _*)
+    val joinCond = keyNames
+      .map(k => col(k) === col(s"${k}_b"))
+      .foldLeft(
+        col("t") === col("t_b") && col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= threshold)(_ && _)
+    val pairs = a.join(b, joinCond)
+      .select((col("id_a") +: col("id_b") +: keyNames.map(col)): _*)
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select((keyNames.map(col) :+ col("id_a") :+ col("id_b") :+
+        graft.plans.SetOps.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard")): _*)
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash of the token multiset: per-bit majority vote over token
     * hashes (Charikar 2002). Pure expressions: a 64-slot vote vector folded
     * over tokens, then packed into one BIGINT. Bit shifts use

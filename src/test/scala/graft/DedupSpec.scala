@@ -41,6 +41,64 @@ class DedupSpec extends SparkSpec {
     assert(pairs((0L, 4L)) < 0.2)
   }
 
+  test("prefix-filtered jaccard join equals brute-force all-pairs (exactness)") {
+    // wider fixture: the planted docs + perturbed copies to create pairs at
+    // and around the threshold
+    val extra = (10L to 29L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      (i, if (i % 3 == 0) base else base + s" suffix${i % 5}")
+    }
+    val all = docs.union(extra.toDF("doc_id", "text")).where(length($"text") > 0)
+    val g = all.select($"doc_id",
+      transform(Dedup.ngramSet(lower($"text"), 3), sh => xxhash64(sh)).as("ng"))
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val brute = g.as("a").join(g.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          Dedup.jaccard($"a.ng", $"b.ng").as("j"))
+        .where($"j" >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fast = Dedup.prefixJaccardPairs(g, $"doc_id", $"ng", t)
+        .collect().map(r =>
+          (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+      assert(fast == brute, s"threshold $t: prefix join must equal brute force")
+      assert(brute.nonEmpty, s"fixture must produce pairs at t=$t")
+    }
+    // block keys restrict pairs to equal keys
+    val withSrc = all.withColumn("src", ($"doc_id" % 2).cast("int"))
+      .select($"doc_id", $"src",
+        transform(Dedup.ngramSet(lower($"text"), 3), sh => xxhash64(sh)).as("ng"))
+    val blocked = Dedup.prefixJaccardPairs(withSrc, $"doc_id", $"ng", 0.5,
+      blockKeys = Seq("src" -> $"src")).collect()
+    assert(blocked.nonEmpty)
+    val bySrc = withSrc.select($"doc_id", $"src").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(blocked.forall(r => bySrc(r.getAs[Long]("id_a")) == bySrc(r.getAs[Long]("id_b"))))
+  }
+
+  test("blocked jaccard join: exact within blocks, oversized blocks dropped by the cap") {
+    val extra = (10L to 29L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      (i, if (i % 3 == 0) base else base + s" suffix${i % 5}")
+    }
+    val all = docs.union(extra.toDF("doc_id", "text")).where(length($"text") > 0)
+      .withColumn("src", ($"doc_id" % 2).cast("int"))
+    val g = all.select($"doc_id", $"src", Dedup.ngramSet(lower($"text"), 3).as("ng"))
+    val brute = g.as("a").join(g.as("b"),
+      $"a.doc_id" < $"b.doc_id" && $"a.src" === $"b.src")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), Dedup.jaccard($"a.ng", $"b.ng").as("j"))
+      .where($"j" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = Dedup.blockedJaccardPairs(all, $"doc_id", Dedup.ngramSet(lower($"text"), 3), 0.5,
+      blockKeys = Seq("src" -> $"src"))
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(fast == brute && brute.nonEmpty)
+    // cap: with maxBlockSize below the block population, blocks drop out
+    val capped = Dedup.blockedJaccardPairs(all, $"doc_id", Dedup.ngramSet(lower($"text"), 3), 0.5,
+      blockKeys = Seq("src" -> $"src"), maxBlockSize = 2)
+    assert(capped.count() == 0, "both blocks exceed the cap of 2 → no pairs")
+  }
+
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs.where(length($"text") > 0), $"doc_id", $"text",
       threshold = 0.35).collect()
@@ -48,6 +106,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((0L, 2L)))
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash LSH across the similarity spectrum: sound below threshold, complete above") {
+    // planted pairs at graded similarity: doc 100 is the anchor; docs
+    // 101..106 replace a growing suffix of its 12 words — true word-shingle
+    // Jaccard decays from ~0.9 toward ~0.1, crossing the LSH band boundary
+    val words = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12".split(" ")
+    val graded = (0 to 6).map { k =>
+      (100L + k, (words.dropRight(k * 2) ++ (1 to k * 2).map(i => s"z$i$k")).mkString(" "))
+    }
+    val df = graded.toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, $"doc_id", $"text", threshold = 0.35)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    // exact jaccard per pair (driver-side, word 3-shingles)
+    def shingles(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val truth = (for {
+      a <- graded; b <- graded if a._1 < b._1
+      sa = shingles(a._2); sb = shingles(b._2)
+    } yield (a._1, b._1) -> sa.intersect(sb).size.toDouble / sa.union(sb).size).toMap
+    // soundness: every returned pair is a true pair (verify step is exact)
+    pairs.foreach { case (k, j) =>
+      assert(math.abs(j - truth(k)) < 1e-9 && j >= 0.35, s"$k: returned $j true ${truth(k)}")
+    }
+    // completeness well above the threshold: banding (k=32, b=16, r=2) has
+    // >=99% candidate probability at j>=0.6 — all such pairs must surface
+    val strong = truth.filter(_._2 >= 0.6).keySet
+    assert(strong.nonEmpty && strong.forall(pairs.contains),
+      s"missing strong pairs: ${strong.filterNot(pairs.contains)}")
+    // and nothing below the threshold leaks through
+    assert(pairs.keySet.forall(k => truth(k) >= 0.35))
   }
 
   test("simhash: identical text → distance 0, near-dup small, unrelated large") {
@@ -93,7 +182,7 @@ class DedupSpec extends SparkSpec {
 
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val ann = Similarity.lshTopK(emb, $"vec_id", $"embedding", k = 5, nPlanes = 16, bands = 8)
+    val ann = Similarity.lshTopK(emb, $"vec_id", $"embedding", k = 5)
       .select($"vec_id", $"neighbour_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact top-5 for 20 sample queries via driver-side compute
@@ -111,6 +200,6 @@ class DedupSpec extends SparkSpec {
       (exact intersect got).size.toDouble / 5.0
     }
     val recall = hits.sum / sample.size
-    assert(recall >= 0.5, f"LSH recall@5 too low: $recall%.2f")
+    assert(recall >= 0.8, f"LSH recall@5 too low: $recall%.2f (defaults measured ~0.99)")
   }
 }
