@@ -569,6 +569,235 @@ object Queries {
           |WHERE NOT EXISTS (SELECT 1 FROM orders o
           |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin))),
 
+    // FLAGSHIP COMPOSITION (reference daily-measures.R:54-235 end-to-end on
+    // the events shape): D1 distinct → per-episode derive (episode =
+    // (user, day, 8h block)) → W1 awakenings + W2 fragmentation + W4
+    // first-match latency → 3-way left-join assembly (J1/J2) → daily
+    // reduce with circular mean + NA-skipping means + NaN→null (A3/A9/P9)
+    // → NumEpisodes join (J6) + weekday label. Every stage is an
+    // already-proven operator; this row proves the COMPOSITION (join-key
+    // alignment, dedup-before-derive ordering, null propagation through
+    // the assembly).
+    "q_daily_measures" -> ((
+      (s: SparkSession, dir: String) => {
+        import graft.operators.Episodes
+        val base = Dedup.exact(events(s, dir)).select(
+          col("user_id"),
+          date_trunc("day", col("ts")).as("day"),
+          floor(hour(col("ts")) / 8).cast("int").as("ep"),
+          col("ts"), col("event_id"), col("event_type"), col("value"))
+        val parts = Seq(col("user_id"), col("day"), col("ep"))
+        val order = Seq(col("ts"), col("event_id"))
+        // sleeplogs_df analog: per-episode start time-of-day + efficiency
+        val eps = base.groupBy(parts: _*).agg(
+          min(col("ts")).as("first_ts"),
+          avg(col("value")).as("eff"),
+          count(when(col("event_type") === "purchase", 1)).as("p_cnt"))
+          .withColumn("start_tod_h", Rollup.todHours(col("first_ts")))
+        // W1: awakenings analog (value>25 runs, reference drop-last rule)
+        val awak = Episodes.transitionsInto(base, parts, order, col("value") > 25.0)
+          .withColumnRenamed("n_transitions", "awk")
+        // W2: fragmentation numerator (purchase → non-purchase transitions)
+        val frag = Episodes.transitionsOutOf(base, parts, order, col("event_type") === "purchase")
+          .withColumnRenamed("n_transitions", "n_out")
+        // W4: first-purchase latency from episode start
+        val lat = Episodes.firstMatchLatency(base, parts, col("ts"),
+          from = lit(true), until = col("event_type") === "purchase")
+        val keys = Seq("user_id", "day", "ep")
+        val joined = eps
+          .join(awak, keys, "left")
+          .join(frag, keys, "left")
+          .join(lat, keys, "left")
+          // reference remFragmentationIndex = transitions/(SleepLevelRem/60),
+          // only where the denominator is positive
+          .withColumn("frag", when(col("p_cnt") > 0, col("n_out") / (col("p_cnt") / 60.0)))
+        val daily = joined.groupBy(col("user_id").as("conv_id"), col("day")).agg(
+          MetricRegistry.registry("circular_mean")(col("start_tod_h")).as("start_circ_h"),
+          avg(col("eff")).as("eff_mean"),
+          avg(col("awk")).as("awak_mean"),
+          avg(col("frag")).as("frag_mean"),
+          // average the exact integer µs (order-insensitive: integer sums
+          // are exact in double), divide once — bit-equal with the oracle,
+          // so lat_mean needs NO rounding (a round-6 here hits HALF_UP vs
+          // half-even ties: µs-derived values have exact 6-decimal forms)
+          (avg(col("latency_us")) / 1e6).as("lat_mean"))
+        val numEps = eps.groupBy(col("user_id").as("conv_id"), col("day"))
+          .agg(count(lit(1)).as("num_episodes"))
+        daily
+          .join(numEps, Seq("conv_id", "day"), "left")
+          .withColumn("day_name", Scalars.weekdayLabel(col("day")))
+          .select(
+            col("conv_id"), col("day"), col("day_name"),
+            round(Scalars.nanToNull(col("start_circ_h")), 6).as("start_circ_h"),
+            round(Scalars.nanToNull(col("eff_mean")), 6).as("eff_mean"),
+            round(Scalars.nanToNull(col("awak_mean")), 6).as("awak_mean"),
+            col("num_episodes"),
+            round(Scalars.nanToNull(col("frag_mean")), 6).as("frag_mean"),
+            Scalars.nanToNull(col("lat_mean")).as("lat_mean"))
+      },
+      Some(
+        """WITH d AS (SELECT DISTINCT * FROM events),
+          |b AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day,
+          |         CAST(floor(hour(ts) / 8) AS INT) AS ep,
+          |         ts, event_id, event_type, value
+          |  FROM d),
+          |eps AS (
+          |  SELECT user_id, day, ep, min(ts) AS first_ts, avg(value) AS eff,
+          |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p_cnt
+          |  FROM b GROUP BY 1, 2, 3),
+          |epst AS (
+          |  SELECT *, (floor(epoch_us(first_ts) % 86400000000 / 1000000) / 3600.0) AS start_tod_h
+          |  FROM eps),
+          |aw AS (
+          |  SELECT user_id, day, ep, count(*) AS awk FROM (
+          |    SELECT user_id, day, ep, (value > 25.0)::int AS cur,
+          |      lead((value > 25.0)::int) OVER w AS nxt,
+          |      lead(1, 2) OVER w AS has2
+          |    FROM b
+          |    WINDOW w AS (PARTITION BY user_id, day, ep ORDER BY ts, event_id))
+          |  WHERE cur = 0 AND nxt = 1 AND has2 IS NOT NULL GROUP BY 1, 2, 3),
+          |fr AS (
+          |  SELECT user_id, day, ep, count(*) AS n_out FROM (
+          |    SELECT user_id, day, ep, (event_type = 'purchase')::int AS cur,
+          |      lag((event_type = 'purchase')::int) OVER
+          |        (PARTITION BY user_id, day, ep ORDER BY ts, event_id) AS prev
+          |    FROM b)
+          |  WHERE prev = 1 AND cur = 0 GROUP BY 1, 2, 3),
+          |la AS (
+          |  SELECT user_id, day, ep,
+          |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) - min(epoch_us(ts))
+          |      AS latency_us
+          |  FROM b GROUP BY 1, 2, 3),
+          |j AS (
+          |  SELECT e.user_id, e.day, e.ep, e.start_tod_h, e.eff,
+          |         aw.awk, la.latency_us,
+          |         CASE WHEN e.p_cnt > 0 THEN fr.n_out / (e.p_cnt / 60.0) END AS frag
+          |  FROM epst e
+          |  LEFT JOIN aw USING (user_id, day, ep)
+          |  LEFT JOIN fr USING (user_id, day, ep)
+          |  LEFT JOIN la USING (user_id, day, ep)),
+          |daily AS (
+          |  SELECT user_id AS conv_id, day,
+          |    round(((atan2(avg(sin(2*pi()*start_tod_h/24.0)), avg(cos(2*pi()*start_tod_h/24.0)))
+          |      * 24.0 / (2*pi())) % 24 + 24) % 24, 6) AS start_circ_h,
+          |    round(avg(eff), 6) AS eff_mean,
+          |    round(avg(awk), 6) AS awak_mean,
+          |    round(avg(frag), 6) AS frag_mean,
+          |    avg(latency_us) / 1e6 AS lat_mean
+          |  FROM j GROUP BY 1, 2),
+          |ne AS (SELECT user_id AS conv_id, day, count(*) AS num_episodes FROM eps GROUP BY 1, 2)
+          |SELECT dd.conv_id, dd.day, dayname(dd.day) AS day_name,
+          |  dd.start_circ_h, dd.eff_mean, dd.awak_mean, ne.num_episodes, dd.frag_mean, dd.lat_mean
+          |FROM daily dd LEFT JOIN ne USING (conv_id, day)""".stripMargin))),
+
+    // Unit standardization (standardize_units.R:15-42): per-column
+    // registry rules applied iff the column exists — s→min, h→min, ms→min
+    // on a daily-measures-like frame.
+    "q_units" -> ((
+      (s: SparkSession, dir: String) => {
+        val usCol = unix_micros(col("ts").cast("timestamp"))
+        val base = events(s, dir).groupBy(col("user_id").as("conv_id")).agg(
+          ((min(when(col("event_type") === "purchase", usCol)) - min(usCol)) / 1e6).as("lat_s"),
+          ((max(usCol) - min(usCol)) / lit(1000.0)).as("dur_ms"))
+          .withColumn("circ_h", lit(7.25))
+        // NO rounding: the rescale is one multiply by the same compile-time
+        // factor on values both engines derive by identical IEEE ops from
+        // integer µs — results are bit-equal; rounding would reintroduce
+        // HALF_UP-vs-half-even ties on these exact-decimal values
+        graft.functions.Units.standardizeByUnits(base, Map(
+          "lat_s" -> ("s", "min"),
+          "dur_ms" -> ("ms", "min"),
+          "circ_h" -> ("h", "min"),
+          "absent_col" -> ("us", "min"))) // absent → skipped (reference %in% colnames)
+          .select(col("conv_id"), col("lat_s"), col("dur_ms"), col("circ_h"))
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT user_id AS conv_id,
+          |    (min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) - min(epoch_us(ts))) / 1e6
+          |      AS lat_s,
+          |    (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000.0 AS dur_ms
+          |  FROM events GROUP BY 1)
+          |SELECT conv_id,
+          |  lat_s * (1.0 / 60.0) AS lat_s,
+          |  dur_ms * (0.001 / 60.0) AS dur_ms,
+          |  7.25 * (3600.0 / 60.0) AS circ_h
+          |FROM b""".stripMargin))),
+
+    // Metadata-table-driven projection (fetch-data.R:13-22): a selected_vars
+    // CSV side table decides which event columns are read; the projection
+    // reaches the parquet scan as column pruning (PlanSpec asserts it).
+    "q_selected_vars" -> ((
+      (s: SparkSession, dir: String) => {
+        import graft.sources.SelectedVars
+        val csv = java.nio.file.Files.createTempDirectory("selvars").resolve("selected_vars.csv")
+        java.nio.file.Files.write(csv,
+          "Export,Variable\nevents,user_id\nevents,value\ndocuments,doc_id\n".getBytes)
+        val selected = SelectedVars.read(s, csv.toString)
+        SelectedVars.projectTo(events(s, dir), selected, "events")
+          .groupBy(col("user_id").as("conv_id"))
+          .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 6).as("sum_v"))
+      },
+      Some(
+        """SELECT user_id AS conv_id, count(*) AS n_rows, round(sum(value), 6) AS sum_v
+          |FROM events GROUP BY 1""".stripMargin))),
+
+    // A11: anchor = min over TWO date columns (reference infection anchor,
+    // sleepSD.R:9-13 min(least(d1, d2))) — per customer, over each order's
+    // date and its items' ship dates.
+    "q_anchor_least" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = tbl(s, dir, "lineitem")
+        val o = tbl(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(o("o_custkey").as("custkey"))
+          .agg(min(least(li("l_shipdate"), o("o_orderdate"))).as("anchor"))
+      },
+      Some(
+        """SELECT o.o_custkey AS custkey, min(least(l.l_shipdate, o.o_orderdate)) AS anchor
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |GROUP BY 1""".stripMargin))),
+
+    // F3: sliding SRI — daily SRI series (bucketed lag-agreement) composed
+    // with the 3-bucket sliding window + completeness filter
+    // (sri.R:96-121,181-195).
+    "q_sri_daily_sliding" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = Sri.activityRegularityBucketed(events(s, dir), col("user_id"), col("ts"),
+          tickSeconds = 300, lagTicks = 288, bucketSeconds = 86400L)
+        Sliding.slidingStats(daily, col("conv_id"), col("bucket_start"), 86400L, 3,
+          Seq("sri" -> col("sri")))
+          .select(col("conv_id"),
+            (unix_timestamp(col("bucket_start")) / 86400).cast("long").as("day_idx"),
+            round(col("sri"), 6).as("sri"),
+            round(col("sri_mean"), 6).as("sri3_mean"),
+            round(col("sri_sd"), 6).as("sri3_sd"))
+      },
+      Some(
+        """WITH act AS (
+          |  SELECT user_id, (epoch_us(ts) // 300000000) AS tick FROM events GROUP BY 1, 2),
+          |span AS (SELECT user_id, min(tick) AS lo, max(tick) AS hi FROM act GROUP BY 1),
+          |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS tick FROM span),
+          |st AS (
+          |  SELECT g.user_id, g.tick, CASE WHEN a.tick IS NULL THEN 0 ELSE 1 END AS status
+          |  FROM grid g LEFT JOIN act a ON a.user_id = g.user_id AND a.tick = g.tick),
+          |lg AS (
+          |  SELECT user_id, tick, status,
+          |    lag(status, 288) OVER (PARTITION BY user_id ORDER BY tick) AS prev
+          |  FROM st),
+          |daily AS (
+          |  SELECT user_id AS conv_id, (tick * 300) // 86400 AS day_idx,
+          |    200.0 * avg((status = prev)::int) - 100.0 AS sri
+          |  FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2)
+          |SELECT conv_id, day_idx, round(sri, 6) AS sri,
+          |  round(avg(sri) OVER w, 6) AS sri3_mean,
+          |  round(stddev_samp(sri) OVER w, 6) AS sri3_sd
+          |FROM daily
+          |WINDOW w AS (PARTITION BY conv_id ORDER BY day_idx
+          |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+          |QUALIFY count(*) OVER w = 3""".stripMargin))),
+
     // §2.9 unpivot: wide tier stats → long concept rows
     // (reference gather → (entity, bucket, concept, nval_num)).
     "q_unpivot_1d" -> ((

@@ -67,8 +67,11 @@ object Episodes {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
-  /** W4: latency in seconds from the first row matching `from` to the first
-    * row matching `until` (null if either never matches). */
+  /** W4: latency from the first row matching `from` to the first row
+    * matching `until` (null if either never matches). Emits BOTH the exact
+    * integer `latency_us` (sums/averages of it stay exact across engines
+    * and partition orders — no FP-summation or rounding-tie drift) and the
+    * derived `latency_secs` double. */
   def firstMatchLatency(
       df: DataFrame,
       parts: Seq[Column],
@@ -77,8 +80,9 @@ object Episodes {
       until: Column): DataFrame = {
     df.groupBy(parts: _*)
       .agg(
-        ((min(when(until, unix_micros(ts.cast("timestamp"))))
-          - min(when(from, unix_micros(ts.cast("timestamp"))))) / 1e6).as("latency_secs"))
+        (min(when(until, unix_micros(ts.cast("timestamp"))))
+          - min(when(from, unix_micros(ts.cast("timestamp"))))).as("latency_us"))
+      .withColumn("latency_secs", col("latency_us") / 1e6)
   }
 
   /** Episode (maximal same-value run) identification: assigns a run id per

@@ -28,6 +28,14 @@ class PlanSpec extends SparkSpec {
       s"scan must not read unused columns: $readSchema")
   }
 
+  test("metadata-driven projection reaches the scan (q_selected_vars ReadSchema)") {
+    val p = plan(Queries.queries("q_selected_vars")(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("user_id") && readSchema.contains("value"), readSchema)
+    assert(!readSchema.contains("event_type") && !readSchema.contains("event_id"),
+      s"CSV-selected projection must prune unselected columns: $readSchema")
+  }
+
   test("join assembly broadcasts the customer dim") {
     val p = plan(Queries.queries("q_join_assembly")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
