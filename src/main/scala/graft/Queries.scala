@@ -798,6 +798,31 @@ object Queries {
           |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
           |QUALIFY count(*) OVER w = 3""".stripMargin))),
 
+    // Gap-based conversation sessionization (session_window built-in):
+    // events of one user within 30min of the previous event form a session;
+    // oracle = classic gaps-and-islands (lag + running sum of gap flags).
+    "q_session_window" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sessionize.sessions(
+          events(s, dir), col("user_id"), col("ts"), "30 minutes",
+          aggs = Seq(round(sum(col("value")), 6).as("sum_v")))
+          .select(col("conv_id"), col("session_start"), col("last_ts"),
+            col("n_events"), col("sum_v")),
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |i AS (
+          |  SELECT user_id, ts, value,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g)
+          |SELECT user_id AS conv_id, min(ts) AS session_start, max(ts) AS last_ts,
+          |  count(*) AS n_events, round(sum(value), 6) AS sum_v
+          |FROM i GROUP BY user_id, sid""".stripMargin))),
+
     // §2.9 unpivot: wide tier stats → long concept rows
     // (reference gather → (entity, bucket, concept, nval_num)).
     "q_unpivot_1d" -> ((

@@ -46,32 +46,82 @@ import graft.sources.IceTable
 object CheckpointedRollup {
 
   private val mapper = new ObjectMapper()
-  private val DayUs = 86400000000L
+  private[operators] val DayUs = 86400000000L
 
   final case class DayResult(dayUs: Long, rows: Long, bytes: Long, skipped: Boolean)
 
-  /** Distinct event-time days present in the source manifest (metadata only). */
-  def pendingDays(source: IceTable): Seq[Long] = {
-    val files = source.current.map(_.files).getOrElse(Nil)
-    files
-      .flatMap(f => (f.minTsUs / DayUs) to (f.maxTsUs / DayUs))
-      .distinct
-      .sorted
-      .map(_ * DayUs)
+  /** A source the day-unit build can read incrementally: which days exist,
+    * a content fingerprint per day (changes iff the day's data changed),
+    * and a day-pruned scan. IceTables and previously-built day-dir outputs
+    * both implement it — which is what lets tier N+1 build incrementally
+    * FROM tier N with fingerprints CHAINING through the cascade (a raw
+    * append invalidates day X at 1m, whose new marker invalidates day X at
+    * 1h, and so on — untouched days are skipped at every level). */
+  trait DaySource {
+    def pendingDays: Seq[Long]
+    def dayFingerprint(dayUs: Long): Long
+    def scanDay(spark: SparkSession, dayUs: Long): org.apache.spark.sql.DataFrame
+    /** Lineage id recorded in each marker (source snapshot id or 0). */
+    def lineageId: Long
   }
+
+  /** DaySource over an IceTable: manifest stats prune the scan to files
+    * overlapping the day; fingerprints hash those files' manifest entries. */
+  final class IceDaySource(table: IceTable, tsCol: String = "ts") extends DaySource {
+    private def files = table.current.map(_.files).getOrElse(Nil)
+    def pendingDays: Seq[Long] =
+      files.flatMap(f => (f.minTsUs / DayUs) to (f.maxTsUs / DayUs)).distinct.sorted.map(_ * DayUs)
+    def dayFingerprint(dayUs: Long): Long = {
+      val fs = files
+        .filter(f => f.maxTsUs >= dayUs && f.minTsUs < dayUs + DayUs)
+        .sortBy(_.path)
+      fs.foldLeft(1125899906842597L) { (h, f) =>
+        ((h * 31 + f.path.hashCode) * 31 + f.rows) * 31 + f.bytes
+      }
+    }
+    def scanDay(spark: SparkSession, dayUs: Long): org.apache.spark.sql.DataFrame =
+      table.scan(spark, dayUs, dayUs + DayUs - 1)
+        .where(col(tsCol) >= timestamp_micros(lit(dayUs)) && col(tsCol) < timestamp_micros(lit(dayUs + DayUs)))
+    def lineageId: Long = table.currentSnapshotId
+  }
+
+  /** DaySource over a previous run's day-dir output: days come from the
+    * markers, and each day's fingerprint CHAINS the upstream marker's
+    * source fingerprint with its row/byte metrics — so rebuilding a day
+    * upstream changes this fingerprint and invalidates it downstream. */
+  final class DayDirSource(spark: SparkSession, dir: String) extends DaySource {
+    private val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def marker(dayUs: Long) = markerPath(dir, dayUs)
+    def pendingDays: Seq[Long] = {
+      val ck = new Path(dir, "_checkpoints")
+      if (!fs.exists(ck)) Nil
+      else fs.listStatus(ck).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("day-") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("day-").stripSuffix(".json").toLong)
+        .toSeq.sorted
+    }
+    def dayFingerprint(dayUs: Long): Long = {
+      val p = marker(dayUs)
+      if (!fs.exists(p)) 0L
+      else {
+        val n = mapper.readTree(readFully(fs, p))
+        ((n.get("source_files_fp").asLong * 31 + n.get("rows").asLong) * 31 + n.get("bytes").asLong)
+      }
+    }
+    def scanDay(sparkS: SparkSession, dayUs: Long): org.apache.spark.sql.DataFrame =
+      sparkS.read.parquet(s"$dir/day=$dayUs")
+    def lineageId: Long = 0L
+  }
+
+  /** Distinct event-time days present in the source manifest (metadata only). */
+  def pendingDays(source: IceTable): Seq[Long] = new IceDaySource(source).pendingDays
 
   private def markerPath(outDir: String, dayUs: Long) =
     new Path(outDir, s"_checkpoints/day-$dayUs.json")
 
   /** Deterministic fingerprint of the source files overlapping a day. */
-  def dayFingerprint(source: IceTable, dayUs: Long): Long = {
-    val files = source.current.map(_.files).getOrElse(Nil)
-      .filter(f => f.maxTsUs >= dayUs && f.minTsUs < dayUs + DayUs)
-      .sortBy(_.path)
-    files.foldLeft(1125899906842597L) { (h, f) =>
-      ((h * 31 + f.path.hashCode) * 31 + f.rows) * 31 + f.bytes
-    }
-  }
+  def dayFingerprint(source: IceTable, dayUs: Long): Long =
+    new IceDaySource(source).dayFingerprint(dayUs)
 
   private def readFully(fs: FileSystem, p: Path): String = {
     val in = new InputStreamReader(fs.open(p), StandardCharsets.UTF_8)
@@ -93,11 +143,8 @@ object CheckpointedRollup {
     }
   }
 
-  /** Run (or resume) the tier build. `failAfter` injects a crash after N
-    * completed units — used by the resume tests (only meaningful with
-    * parallelism=1). `parallelism` bounds how many day jobs are in flight
-    * concurrently (independent Spark jobs; results are per-day and order-
-    * independent). Returns per-day results in day order. */
+  /** Run (or resume) a tier build over an IceTable source (the raw→1m
+    * form; see `runUnits` for the generic DaySource + transform form). */
   def run(
       spark: SparkSession,
       source: IceTable,
@@ -105,24 +152,40 @@ object CheckpointedRollup {
       value: Column,
       interval: String = "1 minute",
       failAfter: Option[Int] = None,
+      parallelism: Int = 1): Seq[DayResult] =
+    runUnits(spark, new IceDaySource(source), outDir,
+      raw => Rollup.rollupRaw(raw, col("conv_id"), col("ts"), value, interval),
+      failAfter, parallelism)
+
+  /** Run (or resume) a day-unit build: for each source day whose
+    * fingerprint changed (or has no marker), apply `transform` to that
+    * day's rows and commit the result dir + marker atomically. `failAfter`
+    * injects a crash after N completed units — used by the resume tests
+    * (only meaningful with parallelism=1). `parallelism` bounds how many
+    * day jobs are in flight concurrently (independent Spark jobs; results
+    * are per-day and order-independent). Returns per-day results in day
+    * order. */
+  def runUnits(
+      spark: SparkSession,
+      source: DaySource,
+      outDir: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      failAfter: Option[Int] = None,
       parallelism: Int = 1): Seq[DayResult] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(outDir).getFileSystem(conf)
-    val snapId = source.currentSnapshotId
+    val snapId = source.lineageId
     fs.mkdirs(new Path(outDir, "_checkpoints"))
     val done = new AtomicInteger(0)
 
     def runDay(dayUs: Long): DayResult = {
-      val fp = dayFingerprint(source, dayUs)
+      val fp = source.dayFingerprint(dayUs)
       if (isDone(spark, outDir, dayUs, fp)) DayResult(dayUs, 0L, 0L, skipped = true)
       else {
         failAfter.foreach(k =>
           if (done.get() >= k) throw new RuntimeException(s"injected failure after $k units"))
         val t0 = System.nanoTime()
-        val raw = source
-          .scan(spark, dayUs, dayUs + DayUs - 1)
-          .where(col("ts") >= timestamp_micros(lit(dayUs)) && col("ts") < timestamp_micros(lit(dayUs + DayUs)))
-        val tier = Rollup.rollupRaw(raw, col("conv_id"), col("ts"), value, interval)
+        val tier = transform(source.scanDay(spark, dayUs))
         val dayDir = new Path(outDir, s"day=$dayUs")
         val tmpDir = new Path(outDir, s".day-$dayUs.tmp")
         tier.write.mode("overwrite").parquet(tmpDir.toString)
@@ -149,7 +212,7 @@ object CheckpointedRollup {
       }
     }
 
-    val days = pendingDays(source)
+    val days = source.pendingDays
     if (parallelism <= 1) days.map(runDay)
     else {
       val pool = Executors.newFixedThreadPool(parallelism)

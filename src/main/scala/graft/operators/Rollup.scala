@@ -215,6 +215,32 @@ object Rollup {
     (t1m, t1h, t1d)
   }
 
+  /** Plan-picking cascade: probe the data for mega-entities (one cheap
+    * hash-sampled pass, Skew.detectHeavyKeys) and choose accordingly —
+    *   - heavy keys found: salted two-phase 1m aggregate (hot conv_ids
+    *     spread over `salts` reducers; Skew.adaptiveSaltedRollupRaw), then
+    *     tier-on-tier merges — the mega-conversation-safe shape;
+    *   - none: the single-exchange co-partitioned chain (fastest when no
+    *     key dominates — the common transcripts shape).
+    * Results are identical mod FP summation order either way (the block
+    * merge is associative; property-tested in RollupSpec). */
+  def cascadeAuto(
+      raw: DataFrame,
+      entity: Column,
+      ts: Column,
+      value: Column,
+      rowThreshold: Long = 5000000L,
+      salts: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+    val heavy = Skew.detectHeavyKeys(raw, entity, ts, rowThreshold)
+    if (heavy.isEmpty) cascadeCoPartitioned(raw, entity, ts, value)
+    else {
+      val t1m = Skew.adaptiveSaltedRollupRaw(raw, entity, ts, value, "1 minute", salts, heavy)
+      val t1h = rollupTier(t1m, "1 hour")
+      val t1d = rollupTier(t1h, "1 day")
+      (t1m, t1h, t1d)
+    }
+  }
+
   /** Single-shuffle cascade: repartition raw by entity ONCE, then every
     * tier aggregate runs shuffle-free — HashPartitioning(entity) satisfies
     * each aggregate's ClusteredDistribution(entity, bucket) because equal

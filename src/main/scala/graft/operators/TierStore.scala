@@ -56,6 +56,55 @@ object TierStore {
     TierTables(t1m, t1h, t1d)
   }
 
+  /** Paths of an incremental (day-dir) tier store (see `sync`). */
+  final case class TierDirs(t1m: String, t1h: String, t1d: String)
+
+  /** INCREMENTAL cascade build: raw IceTable → day-dir 1m → 1h → 1d, each
+    * level a CheckpointedRollup day-unit run whose fingerprints CHAIN —
+    * appending a raw snapshot recomputes only the touched days at EVERY
+    * tier (O(changed days × 3), not O(history)), each tier row carrying
+    * the fused stat block + Gorilla block. Re-running after no change is a
+    * metadata-only no-op at all levels. Returns per-tier day results
+    * ((skipped, rebuilt) visible to callers for lineage/audit). */
+  def sync(
+      spark: SparkSession,
+      source: IceTable,
+      root: String,
+      value: Column,
+      parallelism: Int = 1): (Seq[CheckpointedRollup.DayResult], Seq[CheckpointedRollup.DayResult], Seq[CheckpointedRollup.DayResult]) = {
+    import CheckpointedRollup.{runUnits, DayDirSource, IceDaySource}
+    val dirs = TierDirs(s"$root/1m", s"$root/1h", s"$root/1d")
+    val r1m = runUnits(spark, new IceDaySource(source), dirs.t1m,
+      raw => Rollup.rollupRawWithGorilla(
+        raw.withColumn("_v", value), col("conv_id"), col("ts"), col("_v"), "1 minute"),
+      parallelism = parallelism)
+    val r1h = runUnits(spark, new DayDirSource(spark, dirs.t1m), dirs.t1h,
+      t1m => Rollup.rollupTierWithGorilla(t1m, "1 hour"),
+      parallelism = parallelism)
+    val r1d = runUnits(spark, new DayDirSource(spark, dirs.t1h), dirs.t1d,
+      t1h => Rollup.rollupTierWithGorilla(t1h, "1 day"),
+      parallelism = parallelism)
+    (r1m, r1h, r1d)
+  }
+
+  /** Scan one tier of an incremental store. */
+  def scanTier(spark: SparkSession, tierDir: String): DataFrame =
+    spark.read.parquet(s"$tierDir/day=*")
+
+  /** Retention for an incremental store tier: physically drop day dirs (and
+    * their markers) entirely older than the cutoff. Returns dropped days. */
+  def expireDays(spark: SparkSession, tierDir: String, cutoffUs: Long): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(tierDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new CheckpointedRollup.DayDirSource(spark, tierDir)
+    val aged = src.pendingDays.filter(_ + 86400000000L <= cutoffUs)
+    aged.foreach { dayUs =>
+      fs.delete(new org.apache.hadoop.fs.Path(tierDir, s"day=$dayUs"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tierDir, s"_checkpoints/day-$dayUs.json"), false)
+    }
+    aged
+  }
+
   /** Retention ladder: expire each tier's buckets older than its TTL
     * relative to `nowUs`. Returns new snapshot ids (metadata-only). */
   def applyRetention(

@@ -189,8 +189,19 @@ final class IceTable(val root: String) {
 
   /** Scan the current snapshot, optionally pruned to files overlapping
     * [loUs, hiUs] via manifest stats (no parquet touched outside range). */
-  def scan(spark: SparkSession, loUs: Long = Long.MinValue, hiUs: Long = Long.MaxValue): DataFrame = {
-    val files = current.map(_.files).getOrElse(Nil)
+  def scan(spark: SparkSession, loUs: Long = Long.MinValue, hiUs: Long = Long.MaxValue): DataFrame =
+    scanSnapshot(spark, current, loUs, hiUs)
+
+  /** Time travel: scan a PAST snapshot by id (data files are immutable and
+    * expiry/rewrite are metadata-only, so every committed snapshot stays
+    * readable — the Iceberg `VERSION AS OF` analog). */
+  def scanAt(spark: SparkSession, snapshotId: Long, loUs: Long = Long.MinValue, hiUs: Long = Long.MaxValue): DataFrame = {
+    require(snapshot(snapshotId).isDefined, s"unknown snapshot id $snapshotId for table $root")
+    scanSnapshot(spark, snapshot(snapshotId), loUs, hiUs)
+  }
+
+  private def scanSnapshot(spark: SparkSession, s: Option[Snapshot], loUs: Long, hiUs: Long): DataFrame = {
+    val files = s.map(_.files).getOrElse(Nil)
       .filter(f => f.maxTsUs >= loUs && f.minTsUs <= hiUs)
       .map(_.path)
     if (files.isEmpty) spark.emptyDataFrame

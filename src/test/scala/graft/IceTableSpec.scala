@@ -61,6 +61,21 @@ class IceTableSpec extends SparkSpec {
     assert(t.scan(spark).count() == turnsDf.count())
   }
 
+  test("scanAt time-travels to any committed snapshot (expiry keeps files readable)") {
+    val t = IceTable(tmp("ice"))
+    val half1 = turnsDf.where($"turn_idx" % 2 === 0)
+    val half2 = turnsDf.where($"turn_idx" % 2 === 1)
+    val id1 = t.append(half1, "ts")
+    val id2 = t.append(half2, "ts")
+    assert(t.scanAt(spark, id1).count() == half1.count())
+    assert(t.scanAt(spark, id2).count() == turnsDf.count())
+    // expiry is metadata-only: the pre-expiry snapshot stays fully readable
+    t.expireOlderThan(Long.MaxValue)
+    assert(t.scan(spark).count() == 0L)
+    assert(t.scanAt(spark, id2).count() == turnsDf.count())
+    intercept[IllegalArgumentException](t.scanAt(spark, 999L))
+  }
+
   test("scan prunes files by manifest min/max stats") {
     val t = IceTable(tmp("ice"))
     // two appends with disjoint time ranges → disjoint file stats

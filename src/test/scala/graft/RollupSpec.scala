@@ -95,6 +95,22 @@ class RollupSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("circ_sd_h") - expSd) < 1e-6)
   }
 
+  test("cascadeAuto picks the salted plan for mega-entities and matches the plain cascade") {
+    // fixture has 1 mega conv at 20x — a threshold below its row count makes
+    // detectHeavyKeys fire and route through the salted two-phase plan
+    val heavyThreshold = 100L
+    import graft.operators.Skew
+    assert(Skew.detectHeavyKeys(measured, $"conv_id", $"ts", heavyThreshold).count() >= 1)
+    val (_, _, auto) = Rollup.cascadeAuto(measured, $"conv_id", $"ts", $"text_len",
+      rowThreshold = heavyThreshold, salts = 4)
+    val (_, _, plain) = Rollup.cascade(measured, $"conv_id", $"ts", $"text_len")
+    assert(canon(auto) == canon(plain))
+    // and with an unreachable threshold it matches too (co-partitioned path)
+    val (_, _, cop) = Rollup.cascadeAuto(measured, $"conv_id", $"ts", $"text_len",
+      rowThreshold = Long.MaxValue)
+    assert(canon(cop) == canon(plain))
+  }
+
   test("typed Dataset API: rollupTurns returns Dataset[TierRow] matching the DataFrame path") {
     val turns = TranscriptGen.turns(spark, nConvs = 8L, withDuplicates = false)
     val typed = Rollup.rollupTurns(turns, length($"text").cast("double"), "1 hour")

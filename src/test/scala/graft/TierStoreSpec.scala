@@ -52,6 +52,56 @@ class TierStoreSpec extends SparkSpec {
     assert(viaUdf.sameElements(replayed))
   }
 
+  test("incremental sync: appending raw data rebuilds ONLY the touched days at EVERY tier") {
+    val src = IceTable(tmp("ice-sync"))
+    val turns = TranscriptGen.turns(spark, nConvs = 12L, withDuplicates = false)
+      .toDF.withColumn("text_len", length($"text").cast("double")).cache()
+    src.append(turns.where($"ts" < "2025-01-20"), "ts")
+    val root = tmp("tiers-sync")
+
+    val (a1m, a1h, a1d) = TierStore.sync(spark, src, root, $"text_len")
+    assert(a1m.forall(!_.skipped) && a1h.forall(!_.skipped) && a1d.forall(!_.skipped))
+
+    // no change → all three tiers fully skipped (metadata-only pass)
+    val (b1m, b1h, b1d) = TierStore.sync(spark, src, root, $"text_len")
+    assert(b1m.forall(_.skipped) && b1h.forall(_.skipped) && b1d.forall(_.skipped))
+
+    // append late rows → only late days rebuild, at every tier
+    val late = turns.where($"ts" >= "2025-01-20")
+    assert(late.count() > 0)
+    src.append(late, "ts")
+    val cutoffUs = java.sql.Timestamp.valueOf("2025-01-20 00:00:00").getTime * 1000
+    val (c1m, c1h, c1d) = TierStore.sync(spark, src, root, $"text_len")
+    for ((r, tier) <- Seq((c1m, "1m"), (c1h, "1h"), (c1d, "1d"))) {
+      val redone = r.filter(!_.skipped).map(_.dayUs)
+      assert(redone.nonEmpty && r.exists(_.skipped), s"$tier: expected a mix, got $r")
+      assert(redone.forall(_ >= cutoffUs - 86400000000L),
+        s"$tier: only late days may rebuild, got ${redone.map(_ / 86400000000L)}")
+    }
+
+    // and the incremental 1d tier equals a direct raw→1d rollup
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"conv_id", $"bucket_start", $"n_rows", round($"sum", 6).as("s"), $"min", $"max")
+      .orderBy("conv_id", "bucket_start").collect().toSeq
+    val direct = Rollup.rollupRaw(turns, $"conv_id", $"ts", $"text_len", "1 day")
+    assert(canon(TierStore.scanTier(spark, s"$root/1d")) == canon(direct))
+
+    // gorilla blocks replay the raw points at the 1m level
+    val replayed = TierStore.scanTier(spark, s"$root/1m")
+      .select($"conv_id", graft.plans.GorillaExplode.gorillaExplode($"gblock"))
+      .orderBy("conv_id", "ts_us", "v").collect()
+    val raw = turns
+      .select($"conv_id", unix_micros($"ts".cast("timestamp")).as("ts_us"), $"text_len".as("v"))
+      .orderBy("conv_id", "ts_us", "v").collect()
+    assert(replayed.length == raw.length && replayed.sameElements(raw))
+
+    // day-dir retention drops aged 1m days physically
+    val dropped = TierStore.expireDays(spark, s"$root/1m", cutoffUs)
+    assert(dropped.nonEmpty)
+    val lo = TierStore.scanTier(spark, s"$root/1m").agg(min($"bucket_start")).head().getTimestamp(0)
+    assert(lo.getTime * 1000 >= cutoffUs - 86400000000L)
+  }
+
   test("retention ladder expires fine tiers earlier than coarse tiers") {
     val (src, turns) = fixture
     val tiers = TierStore.build(spark, src, tmp("tiers2"), length($"text").cast("double"))
