@@ -41,23 +41,6 @@ object Sri {
         s"explode(sequence(greatest(lo, c * $chunk), least(hi, c * $chunk + ${chunk - 1}))) AS tick")
   }
 
-  /** Per-tick activity status on the dense grid: 1 = at least one source
-    * row in the tick, 0 = gap (shared by both activityRegularity forms). */
-  private def activityStatusGrid(
-      turns: DataFrame,
-      entity: Column,
-      ts: Column,
-      tickSeconds: Int): DataFrame = {
-    val active = turns
-      .select(entity.as("e"), (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long").as("tick"))
-      .groupBy(col("e"), col("tick"))
-      .agg(lit(1).as("st"))
-    val span = active.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
-    denseTickGrid(span, tickSeconds)
-      .join(active, Seq("e", "tick"), "left")
-      .select(col("e"), col("tick"), coalesce(col("st"), lit(0)).as("status"))
-  }
-
   /** Reference SRI score over a status series: 200·mean(agree)−100. */
   private def score(statusOrdered: DataFrame, entity: Column, lagTicks: Int): DataFrame = {
     val w = Window.partitionBy(entity).orderBy(col("tick"))
@@ -103,45 +86,108 @@ object Sri {
     score(filled.select(col("e"), col("tick"), col("status")), col("e"), lagTicks)
   }
 
-  /** Per-bucket SRI (reference weekly SRI, sri.R:181-195): the lag-agreement
-    * score grouped by (entity, bucket of the current tick). Feed the result
-    * to Sliding.slidingStats for the sliding 3/26-bucket SRI (F3,
-    * /root/reference/scripts/functions/sri.R:96-121). */
-  private def scoreBucketed(
-      statusOrdered: DataFrame,
+  /** Active tick set + span per entity (shared by the sparse SRI forms). */
+  private def activeTicks(
+      turns: DataFrame,
       entity: Column,
-      tickSeconds: Int,
-      lagTicks: Int,
-      bucketSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(entity).orderBy(col("tick"))
-    statusOrdered
-      .withColumn("_prev", lag(col("status"), lagTicks).over(w))
-      .where(col("_prev").isNotNull)
-      .withColumn("bucket_start",
-        timestamp_seconds((col("tick") * tickSeconds / bucketSeconds).cast("long") * bucketSeconds))
-      .groupBy(entity.as("conv_id"), col("bucket_start"))
-      .agg((lit(200.0) * avg((col("status") === col("_prev")).cast("double")) - 100.0).as("sri"))
+      ts: Column,
+      tickSeconds: Int): (DataFrame, DataFrame) = {
+    val active = turns
+      .select(entity.as("e"), (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long").as("tick"))
+      .groupBy(col("e"), col("tick"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("e"), col("tick"))
+    val span = active.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
+    (active, span)
   }
 
-  /** Bucketed variant of activityRegularity (e.g. daily/weekly SRI series). */
+  /** Per-entity DISAGREEMENT counts over the compared range [lo+lag, hi],
+    * WITHOUT materializing the dense grid: with binary status (active=1,
+    * gap=0), tick t disagrees with t−lag iff exactly one of t, t−lag is
+    * active — so |disagree| = |A \ (A+lag)| + |(A+lag) \ A| restricted to
+    * the range, two ANTI-JOINS over the ACTIVE set. O(|active|) instead of
+    * the grid's O(span/tick) (13M rows → thousands at the test shape; at a
+    * sparse 100 TB corpus this is the difference between scanning activity
+    * and scanning time itself). If buckets are requested the counts group
+    * by the tick's bucket. */
+  private def sparseDisagreements(
+      active: DataFrame,
+      span: DataFrame,
+      lagTicks: Int,
+      bucketOf: Option[Column => Column]): DataFrame = {
+    val shifted = active.select(col("e"), (col("tick") + lagTicks).as("tick"))
+    val ranged = span.select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
+    def inRange(df: DataFrame): DataFrame = df
+      .join(ranged, Seq("e"))
+      .where(col("tick") >= col("_rlo") && col("tick") <= col("_rhi"))
+      .select(col("e"), col("tick"))
+    val activeOnly = inRange(active).join(shifted, Seq("e", "tick"), "left_anti")
+    val shiftedOnly = inRange(shifted).join(active, Seq("e", "tick"), "left_anti")
+    val both = activeOnly.unionByName(shiftedOnly)
+    val keyed = bucketOf match {
+      case Some(f) => both.groupBy(col("e"), f(col("tick")).as("_bucket"))
+      case None => both.groupBy(col("e"))
+    }
+    keyed.agg(count(lit(1)).as("_disagree"))
+  }
+
+  /** Bucketed variant of activityRegularity (e.g. daily/weekly SRI series):
+    * per (entity, bucket-of-tick) score over the compared ticks in that
+    * bucket. Sparse form — buckets with zero disagreements still emit
+    * (sri=100) via an arithmetic per-bucket compared-tick count. */
   def activityRegularityBucketed(
       turns: DataFrame,
       entity: Column,
       ts: Column,
       tickSeconds: Int,
       lagTicks: Int,
-      bucketSeconds: Long): DataFrame =
-    scoreBucketed(activityStatusGrid(turns, entity, ts, tickSeconds), col("e"),
-      tickSeconds, lagTicks, bucketSeconds)
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds % tickSeconds == 0,
+      s"bucketSeconds ($bucketSeconds) must be a multiple of tickSeconds ($tickSeconds)")
+    val ticksPerBucket = bucketSeconds / tickSeconds
+    val (active, span) = activeTicks(turns, entity, ts, tickSeconds)
+    // every (entity, bucket) with ≥1 compared tick: bucket index range of
+    // [lo+lag, hi] — a per-entity explode bounded by span/bucket (days)
+    val buckets = span
+      .select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
+      .where(col("_rlo") <= col("_rhi"))
+      .select(col("e"), col("_rlo"), col("_rhi"),
+        explode(expr(s"sequence(_rlo div $ticksPerBucket, _rhi div $ticksPerBucket)")).as("_bucket"))
+      // compared ticks of this bucket: overlap of the bucket's tick range
+      // with [rlo, rhi] (pure arithmetic — no grid rows)
+      .withColumn("_t",
+        least(col("_rhi"), (col("_bucket") + 1) * ticksPerBucket - 1)
+          - greatest(col("_rlo"), col("_bucket") * ticksPerBucket) + 1)
+      .select(col("e"), col("_bucket"), col("_t"))
+    val dis = sparseDisagreements(active, span, lagTicks,
+      Some(t => (t * tickSeconds / bucketSeconds).cast("long")))
+    buckets
+      .join(dis, Seq("e", "_bucket"), "left")
+      .withColumn("_d", coalesce(col("_disagree"), lit(0L)))
+      .select(
+        col("e").as("conv_id"),
+        timestamp_seconds(col("_bucket") * ticksPerBucket * tickSeconds).as("bucket_start"),
+        (lit(200.0) * (col("_t") - col("_d")) / col("_t") - 100.0).as("sri"))
+  }
 
   /** Transcripts instantiation: per-tick activity status (1 = at least one
-    * turn in the tick) on a dense grid spanning each entity's first..last
-    * tick; day-over-day regularity = lag of one day in ticks. */
+    * turn in the tick) over each entity's first..last tick; day-over-day
+    * regularity = lag of one day in ticks. Sparse O(|active|) form — the
+    * dense status grid is never materialized (see sparseDisagreements). */
   def activityRegularity(
       turns: DataFrame,
       entity: Column,
       ts: Column,
       tickSeconds: Int,
-      lagTicks: Int): DataFrame =
-    score(activityStatusGrid(turns, entity, ts, tickSeconds), col("e"), lagTicks)
+      lagTicks: Int): DataFrame = {
+    val (active, span) = activeTicks(turns, entity, ts, tickSeconds)
+    val dis = sparseDisagreements(active, span, lagTicks, None)
+    span
+      .where(col("hi") - col("lo") >= lagTicks)
+      .withColumn("_t", col("hi") - col("lo") + 1 - lagTicks)
+      .join(dis, Seq("e"), "left")
+      .withColumn("_d", coalesce(col("_disagree"), lit(0L)))
+      .select(col("e").as("conv_id"),
+        (lit(200.0) * (col("_t") - col("_d")) / col("_t") - 100.0).as("sri"))
+  }
 }

@@ -125,12 +125,16 @@ class PlanSpec extends SparkSpec {
     assert(grid.count() == naive.count())
   }
 
-  test("SRI activity grid is two-level (day-chunked tick explode)") {
+  test("SRI activity score is sparse: NO dense-grid Generate in the plan") {
     import graft.operators.Sri
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val sri = Sri.activityRegularity(ev, col("user_id"), col("ts"), tickSeconds = 300, lagTicks = 288)
     val nGen = plan(sri).linesIterator.count(_.contains("Generate "))
-    assert(nGen == 2, s"expected chunk+tick Generate pair, got $nGen")
+    assert(nGen == 0, s"sparse SRI must not materialize a grid, got $nGen Generates")
+    // bucketed form generates only day-index rows (1 bounded Generate)
+    val bkt = Sri.activityRegularityBucketed(ev, col("user_id"), col("ts"), 300, 288, 86400L)
+    val nGenB = plan(bkt).linesIterator.count(_.contains("Generate "))
+    assert(nGenB == 1, s"bucketed sparse SRI explodes only bucket indices, got $nGenB")
   }
 
   test("gap-fill grid join co-partitions (no redundant exchange between join and window)") {
