@@ -58,22 +58,16 @@ object Dedup {
   }
 
   /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; sig[i] = min over shingles of hash_i(shingle).
+    * xxhash64; sig[i] = min over shingles of xxhash64(shingle, i).
     *
-    * Single-pass form: ONE aggregate over the shingle array folding a
-    * k-slot running-min vector. The naive transform(0..k-1, i ->
-    * array_min(transform(shingles, ...))) form re-evaluates its lambda body
-    * per element — and Catalyst inlines the (expensive) shingle expression
-    * into the lambda, so it recomputes tokenization k times per row
-    * (measured 70× slower end-to-end; higher-order lambdas have no
-    * common-subexpression elimination). */
+    * Native expression (plans.TextHashes.MinHashSig): each shingle is
+    * string-hashed ONCE and the k slot values come from cheap int mixes —
+    * bit-identical to the earlier single-pass HOF fold (whose per-slot
+    * `xxhash64(s, i)` lambda re-hashed the string k times per shingle; and
+    * the naive transform-of-transforms before IT re-tokenized k times per
+    * row, measured 70× slower — no CSE inside higher-order lambdas). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) =>
-        zip_with(acc, transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
-          (x, y) => least(x, y)))
+    graft.plans.TextHashes.minHashSig(shingles, k)
 
   /** LSH band keys: split the k-length signature into `bands` bands of
     * k/bands rows; one hash key per band. Docs sharing ANY band key are
@@ -271,29 +265,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over token
-    * hashes (Charikar 2002). Pure expressions: a 64-slot vote vector folded
-    * over tokens, then packed into one BIGINT. Bit shifts use
-    * call_function (SQL shiftright/shiftleft accept a column shift amount;
-    * the Scala helpers only take Int literals). */
-  def simhash64(text: Column): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    def bitOf(h: Column, i: Column): Column =
-      call_function("shiftright", h, i).bitwiseAND(lit(1L))
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) =>
-        zip_with(
-          acc,
-          transform(sequence(lit(0), lit(63)),
-            i => when(bitOf(xxhash64(t), i) === 1L, lit(1L)).otherwise(lit(-1L))),
-          (x, y) => x + y))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (s, x) => s + x)
-  }
+    * hashes (Charikar 2002). Native expression (plans.TextHashes.SimHash64):
+    * one string hash + 64 primitive vote updates per token — bit-identical
+    * to the earlier 64-slot HOF vote fold, which allocated a 64-element
+    * lambda frame per token. */
+  def simhash64(text: Column): Column =
+    graft.plans.TextHashes.simHash64(TextFunctions.tokens(lower(text)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = call_function("bit_count", a.bitwiseXOR(b))

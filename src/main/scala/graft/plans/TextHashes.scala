@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native codegen'd fingerprint expressions for the dedup hot paths.
+  *
+  * Both replace higher-order-function compositions that re-hash the SAME
+  * string once per slot/bit: `xxhash64(s, i)` inside a per-slot lambda
+  * recomputes the full string hash k times per shingle (k=32 for minhash,
+  * and the simhash vote fold allocates a 64-slot array per token). Here the
+  * string is hashed ONCE (seed 42 — Catalyst's xxhash64) and the per-slot
+  * values come from a single cheap int mix, exactly reproducing
+  * `xxhash64(s, i)`'s chained semantics (hash children in sequence: string
+  * under seed 42, then the int under the string's hash) — outputs are
+  * bit-identical to the old composition, pinned by the golden files.
+  */
+object TextHashes {
+
+  private val Seed = 42L
+
+  /** hash(s) under Catalyst xxhash64 semantics (first child, seed 42). */
+  @inline private[plans] def hashString(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    XXH64.hashUTF8String(s, Seed)
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i),
+    * as ONE string hash + k int mixes per shingle. Empty input → all slots
+    * Long.MaxValue (matches the fold's initial accumulator). */
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string>, got $t")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val base = hashString(arr.getUTF8String(j))
+          var i = 0
+          while (i < k) {
+            val h = XXH64.hashInt(i, base)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sig = ctx.addMutableState("long[]", "mhSig", v => s"$v = new long[$k];")
+      nullSafeCodeGen(ctx, ev, a => {
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val base = ctx.freshName("base")
+        val h = ctx.freshName("h")
+        s"""
+           |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+           |final int $n = $a.numElements();
+           |for (int $j = 0; $j < $n; $j++) {
+           |  if (!$a.isNullAt($j)) {
+           |    final long $base = org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashUTF8String($a.getUTF8String($j), ${Seed}L);
+           |    for (int $i = 0; $i < $k; $i++) {
+           |      final long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($i, $base);
+           |      if ($h < $sig[$i]) $sig[$i] = $h;
+           |    }
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  java.util.Arrays.copyOf($sig, $k));
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of a token array (Charikar 2002): per-bit majority vote
+    * over token hashes — one string hash per token, bit votes from its 64
+    * bits, packed with the same `votes[i] > 0 → bit i` rule as the fold
+    * form. Empty input → 0L. */
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Long](64)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = hashString(arr.getUTF8String(j))
+          var i = 0
+          while (i < 64) {
+            votes(i) += (((h >> i) & 1L) * 2L - 1L) // bit → +1 / -1
+            i += 1
+          }
+        }
+        j += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) {
+        if (votes(i) > 0L) fp |= (1L << i)
+        i += 1
+      }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val votes = ctx.addMutableState("long[]", "shVotes", v => s"$v = new long[64];")
+      nullSafeCodeGen(ctx, ev, a => {
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        val fp = ctx.freshName("fp")
+        s"""
+           |java.util.Arrays.fill($votes, 0L);
+           |final int $n = $a.numElements();
+           |for (int $j = 0; $j < $n; $j++) {
+           |  if (!$a.isNullAt($j)) {
+           |    final long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashUTF8String($a.getUTF8String($j), ${Seed}L);
+           |    for (int $i = 0; $i < 64; $i++) {
+           |      $votes[$i] += ((($h >> $i) & 1L) * 2L - 1L);
+           |    }
+           |  }
+           |}
+           |long $fp = 0L;
+           |for (int $i = 0; $i < 64; $i++) {
+           |  if ($votes[$i] > 0L) $fp |= (1L << $i);
+           |}
+           |${ev.value} = $fp;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column surfaces. */
+  def minHashSig(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), k))
+
+  def simHash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+}
