@@ -93,18 +93,27 @@ object Bench {
       .head()
     val bytesPerPoint = g.getAs[Long]("b").toDouble / g.getAs[Long]("p")
 
-    // ---- per-query timings on the driver's sf dir (also warms the JIT) ----
-    // a failed query must read as a FAILURE (-1), never as a fast timing
+    // ---- per-query timings on the driver's sf dir ----
+    // min-of-2 per query: the first run of each plan shape absorbs
+    // JIT/codegen compilation (single-shot timings showed 11.5s for a plan
+    // that measures 0.62s warm — pure measurement noise that fabricates
+    // regressions between rounds); the min of two runs reports engine
+    // capability. A failed query must read as a FAILURE (-1), never as a
+    // fast timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec =
+        try math.min(once(), once())
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> sec
     }
 
     // ---- headline: cascade throughput at full parallelism (JIT now warm) ----

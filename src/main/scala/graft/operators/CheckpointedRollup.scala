@@ -185,14 +185,18 @@ object CheckpointedRollup {
         failAfter.foreach(k =>
           if (done.get() >= k) throw new RuntimeException(s"injected failure after $k units"))
         val t0 = System.nanoTime()
+        // row count observed ON the write action itself — re-reading the
+        // freshly written day dir to count would double each day's read I/O
+        val obs = org.apache.spark.sql.Observation(s"graft-day-$dayUs-${System.nanoTime()}")
         val tier = transform(source.scanDay(spark, dayUs))
+          .observe(obs, count(lit(1)).as("rows"))
         val dayDir = new Path(outDir, s"day=$dayUs")
         val tmpDir = new Path(outDir, s".day-$dayUs.tmp")
         tier.write.mode("overwrite").parquet(tmpDir.toString)
         if (fs.exists(dayDir)) fs.delete(dayDir, true)
         if (!fs.rename(tmpDir, dayDir))
           throw new IllegalStateException(s"checkpoint commit: rename $tmpDir -> $dayDir failed")
-        val rows = spark.read.parquet(dayDir.toString).count()
+        val rows = obs.get("rows").asInstanceOf[Long]
         val bytes = fs.getContentSummary(dayDir).getLength
         val node = mapper.createObjectNode()
         node.put("source_snapshot_id", snapId)
@@ -215,10 +219,26 @@ object CheckpointedRollup {
     val days = source.pendingDays
     if (parallelism <= 1) days.map(runDay)
     else {
+      // every day is lifted into a Try and ALL futures are awaited, so a
+      // failed day never abandons its in-flight siblings: their results
+      // (and any further exceptions, attached as suppressed) survive, and
+      // the thrown error reports the full failure set — the completed
+      // days' markers make the re-run resume exactly where this one died
       val pool = Executors.newFixedThreadPool(parallelism)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try Await.result(Future.traverse(days)(d => Future(runDay(d))), Duration.Inf)
-      finally pool.shutdown()
+      try {
+        val tries = Await.result(
+          Future.traverse(days)(d => Future(scala.util.Try(runDay(d)))), Duration.Inf)
+        val failures = days.zip(tries).collect { case (d, scala.util.Failure(e)) => (d, e) }
+        if (failures.nonEmpty) {
+          val (d0, e0) = failures.head
+          val ex = new RuntimeException(
+            s"${failures.size}/${days.size} day units failed; first: day=$d0", e0)
+          failures.drop(1).foreach { case (_, e) => ex.addSuppressed(e) }
+          throw ex
+        }
+        tries.map(_.get)
+      } finally pool.shutdown()
     }
   }
 }

@@ -159,12 +159,16 @@ object Dedup {
     val base = docs.select(
       (id.as("id") +: hashed.as("sh") +: blockKeys.map { case (n, c) => c.as(n) }): _*)
       .withColumn("n", size(col("sh")))
-    // block-size guard: tiny per-block count aggregate, broadcast back
+    // block-size guard: per-block count aggregate, applied as a left-semi
+    // join with NO broadcast hint — distinct block keys are unbounded at
+    // corpus scale (one per (source, len_band)), the same forced-broadcast
+    // OOM class the retention/eligibility queries deliberately avoid; AQE
+    // picks broadcast at runtime when the key list IS small
     val kept = base.join(
-      broadcast(base.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("_bsz"))
-        .where(col("_bsz") <= maxBlockSize))
+      base.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("_bsz"))
+        .where(col("_bsz") <= maxBlockSize)
         .select(keyNames.map(col): _*),
-      keyNames)
+      keyNames, "left_semi")
     val a = kept.select(
       (keyNames.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a") :+ col("n").as("n_a")): _*)
     val b = kept.select(

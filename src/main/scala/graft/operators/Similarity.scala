@@ -98,8 +98,14 @@ object Similarity {
     val vecs = df.select(id.as("id"), emb.as("e"))
     // one-row peek for the embedding dimensionality (drives the literal
     // hyperplane matrix; a metadata-scale driver action like the reference's
-    // schema probes) — requires a non-empty input
-    val dims = vecs.select(size(col("e"))).head().getInt(0)
+    // schema probes). Embeddings are assumed uniform-length; the first row's
+    // length defines the signature space — dims beyond it are ignored and
+    // shorter vectors would fail in zip_with, so mixed-dim inputs belong in
+    // separate calls (public API contract).
+    val dims = vecs.select(size(col("e"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "lshTopK: input has no rows — cannot infer embedding dimensionality"))
     val rows = nPlanes / bands
     // band-index explode first: Generate barrier keeps the signature
     // evaluated once per row (see Dedup.minhashLshPairs scaladoc)
