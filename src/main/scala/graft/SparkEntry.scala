@@ -20,7 +20,7 @@ object SparkEntry {
     val source = graft.sources.IceTable(s"$root/raw")
     source.append(turns, "ts")
     val tiers = graft.operators.TierStore.build(spark, source, s"$root/tiers", col("text_len"))
-    val maxUs = tiers.t1d.current.get.files.map(_.maxTsUs).max
+    val maxUs = tiers.t1d.currentLiveFiles.map(_.maxTsUs).max
     val day = 86400000000L
     graft.operators.TierStore.applyRetention(tiers, maxUs, 21 * day, 90 * day, 10000 * day)
     Rollup.finalized(tiers.t1d.scan(spark))

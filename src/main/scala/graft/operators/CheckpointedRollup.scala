@@ -68,7 +68,7 @@ object CheckpointedRollup {
   /** DaySource over an IceTable: manifest stats prune the scan to files
     * overlapping the day; fingerprints hash those files' manifest entries. */
   final class IceDaySource(table: IceTable, tsCol: String = "ts") extends DaySource {
-    private def files = table.current.map(_.files).getOrElse(Nil)
+    private def files = table.currentLiveFiles
     def pendingDays: Seq[Long] =
       files.flatMap(f => (f.minTsUs / DayUs) to (f.maxTsUs / DayUs)).distinct.sorted.map(_ * DayUs)
     def dayFingerprint(dayUs: Long): Long = {

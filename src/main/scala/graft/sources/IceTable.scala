@@ -28,11 +28,26 @@ import org.apache.spark.sql.functions._
   *      analog of the reference's post-infection retention filters,
   *      /root/reference/scripts/sleepSD.R:216,226).
   *
+  * METADATA PLANE IS O(new files) PER APPEND (the Iceberg delta-manifest
+  * idea). An append snapshot's JSON lists ONLY the files that append added
+  * (`delta: true`); the live file set is the union of the delta chain down
+  * to the nearest BASE snapshot (expire/rewrite snapshots, which change the
+  * set non-monotonically, always write the full list; and every
+  * `BaseEvery`-th append materializes a full manifest so the chain walk is
+  * bounded at `BaseEvery` small JSON reads — each snapshot records its
+  * distance to the base as `chain_len`, so the base-or-delta decision reads
+  * only the parent snapshot, never the chain). N daily appends therefore
+  * write O(N) cumulative manifest entries, not the O(N²) a
+  * full-list-per-snapshot log accumulates. A `keys.json` index makes keyed
+  * idempotency lookups O(1) amortized instead of an O(snapshots) chain
+  * walk per streaming epoch (see `syncKeyIndex`).
+  *
   * Layout: root/data/snap-<id>/part-*.parquet, root/snapshots/v<id>.json,
-  * root/CURRENT (text file with latest id; updated via atomic rename).
-  * Provenance parity: the reference records executed=/used= lineage on
-  * every egress (/root/reference/scripts/daily-measures.R:242-251) — here
-  * it is the snapshot log itself.
+  * root/keys.json (idempotency index), root/CURRENT (text file with latest
+  * id; updated via atomic rename). Provenance parity: the reference records
+  * executed=/used= lineage on every egress
+  * (/root/reference/scripts/daily-measures.R:242-251) — here it is the
+  * snapshot log itself.
   *
   * Commit protocol (crash-safe, single-writer):
   *   - data is written to a hidden temp dir and RENAMED into
@@ -41,6 +56,9 @@ import org.apache.spark.sql.functions._
   *     overwrite-rename of CURRENT — a crash at any earlier step leaves
   *     only invisible orphans, and `nextId` (max over CURRENT, snapshot
   *     files, and data dirs) guarantees a retry never collides with them;
+  *   - the key index is written strictly AFTER the CURRENT commit, so it
+  *     can only ever be STALE, never ahead — `syncKeyIndex` heals staleness
+  *     by walking just the (indexed, CURRENT] gap;
   *   - appends may carry an idempotency `key` (recorded in the snapshot):
   *     re-appending a committed key is a no-op returning the original id —
   *     this is what makes at-least-once streaming foreachBatch replays
@@ -51,6 +69,8 @@ import org.apache.spark.sql.functions._
   * rename-capable committer), not just the local filesystem.
   */
 final class IceTable(val root: String) {
+  import IceTable.BaseEvery
+
   private val mapper = new ObjectMapper()
 
   private def hadoopConf: Configuration =
@@ -63,9 +83,24 @@ final class IceTable(val root: String) {
   private def snapDir = new Path(root, "snapshots")
   private def dataDir = new Path(root, "data")
   private def currentFile = new Path(root, "CURRENT")
+  private def keyIndexFile = new Path(root, "keys.json")
 
   case class FileEntry(path: String, rows: Long, bytes: Long, minTsUs: Long, maxTsUs: Long)
-  case class Snapshot(id: Long, parentId: Long, op: String, files: Seq[FileEntry], key: Option[String] = None)
+
+  /** One snapshot-log entry. `files` are the entries RECORDED IN THIS
+    * snapshot's JSON: the full live set when `delta` is false (a BASE:
+    * first/periodic append, expire, rewrite), only the newly added files
+    * when true. Use `liveFiles` for the resolved live set. `chainLen` =
+    * number of delta snapshots between this one and its base (0 for a
+    * base). */
+  case class Snapshot(
+      id: Long,
+      parentId: Long,
+      op: String,
+      files: Seq[FileEntry],
+      key: Option[String] = None,
+      delta: Boolean = false,
+      chainLen: Int = 0)
 
   private def readFully(p: Path): String = {
     val in = new InputStreamReader(fs.open(p), StandardCharsets.UTF_8)
@@ -101,14 +136,43 @@ final class IceTable(val root: String) {
           f.get("min_ts_us").asLong, f.get("max_ts_us").asLong)
       }.toSeq
       val key = Option(n.get("key")).filterNot(_.isNull).map(_.asText)
-      Some(Snapshot(n.get("id").asLong, n.get("parent_id").asLong, n.get("op").asText, files, key))
+      val delta = Option(n.get("delta")).exists(_.asBoolean) // absent (pre-delta log) = base
+      val chainLen = Option(n.get("chain_len")).map(_.asInt).getOrElse(0)
+      Some(Snapshot(n.get("id").asLong, n.get("parent_id").asLong, n.get("op").asText,
+        files, key, delta, chainLen))
     }
   }
 
   def current: Option[Snapshot] = snapshot(currentSnapshotId)
 
+  /** Resolved live file set of a snapshot: the snapshot's own entries plus,
+    * for a delta, every ancestor delta's entries down to the nearest base —
+    * at most `chainLen` ≤ BaseEvery extra (small) JSON reads. */
+  def liveFiles(s: Snapshot): Seq[FileEntry] = {
+    if (!s.delta) s.files
+    else {
+      var acc = List(s.files)
+      var cur = s
+      while (cur.delta) {
+        cur = snapshot(cur.parentId).getOrElse(throw new IllegalStateException(
+          s"delta snapshot ${cur.id} references missing parent ${cur.parentId} in $root"))
+        acc = cur.files :: acc
+      }
+      acc.flatten
+    }
+  }
+
+  /** Resolved live file set of snapshot `id` (throws on unknown id). */
+  def liveFiles(id: Long): Seq[FileEntry] =
+    liveFiles(snapshot(id).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot id $id for table $root")))
+
+  /** Resolved live file set of the current snapshot (empty for a fresh table). */
+  def currentLiveFiles: Seq[FileEntry] = current.map(liveFiles).getOrElse(Nil)
+
   /** Next free snapshot id: above CURRENT and above any orphan snapshot
-    * file or data dir left by a crashed commit (retries never collide). */
+    * file or data dir left by a crashed commit (retries never collide).
+    * One directory listing per commit — metadata-scale. */
   private def nextId: Long = {
     def maxId(dir: Path, prefix: String, suffix: String): Long =
       if (!fs.exists(dir)) 0L
@@ -125,6 +189,8 @@ final class IceTable(val root: String) {
     node.put("id", s.id)
     node.put("parent_id", s.parentId)
     node.put("op", s.op)
+    node.put("delta", s.delta)
+    node.put("chain_len", s.chainLen)
     s.key.foreach(node.put("key", _))
     val arr: ArrayNode = node.putArray("files")
     s.files.foreach { f =>
@@ -164,26 +230,77 @@ final class IceTable(val root: String) {
     (id, dir)
   }
 
-  /** Latest committed append snapshot carrying `key`, walking the lineage
-    * chain from CURRENT (idempotency lookup). */
-  def appendIdForKey(key: String): Option[Long] = {
-    Iterator.iterate(current)(s => s.flatMap(x => snapshot(x.parentId)))
-      .takeWhile(_.isDefined)
-      .flatten
-      .collectFirst { case s if s.op == "append" && s.key.contains(key) => s.id }
+  // ------------------------------------------------------ idempotency index
+
+  /** Read keys.json → (highest indexed snapshot id, key → snapshot id).
+    * A corrupt/missing file degrades to (0, empty) — the next sync rebuilds
+    * it from the snapshot log (the log is the source of truth). */
+  private def readKeyIndex(): (Long, Map[String, Long]) =
+    if (!fs.exists(keyIndexFile)) (0L, Map.empty)
+    else scala.util.Try {
+      val n = mapper.readTree(readFully(keyIndexFile))
+      val keys = Option(n.get("keys")).map { kn =>
+        kn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+      }.getOrElse(Map.empty[String, Long])
+      (n.get("up_to").asLong, keys)
+    }.getOrElse((0L, Map.empty))
+
+  /** Bring keys.json up to CURRENT and return the synced key map. Walks
+    * ONLY the (up_to, CURRENT] gap — normally zero or one snapshot — so a
+    * keyed lookup (and therefore every streaming micro-batch commit) costs
+    * O(1) amortized filesystem reads instead of an O(snapshots) chain walk.
+    * The index is a pure cache: written post-commit (never ahead of
+    * CURRENT), healed from the log when stale, rebuilt if deleted. */
+  private def syncKeyIndex(): Map[String, Long] = {
+    val (upTo, keys) = readKeyIndex()
+    val curId = currentSnapshotId
+    if (curId <= upTo) keys
+    else {
+      val gap = Iterator.iterate(current)(s => s.flatMap(x => snapshot(x.parentId)))
+        .takeWhile(_.exists(_.id > upTo))
+        .flatten
+        .collect { case s if s.op == "append" && s.key.isDefined => s.key.get -> s.id }
+        .toList
+      // gap walks newest→oldest; "latest append wins" ⇒ oldest applied first
+      val merged = keys ++ gap.reverse
+      val node = mapper.createObjectNode()
+      node.put("up_to", curId)
+      val kn = node.putObject("keys")
+      merged.foreach { case (k, v) => kn.put(k, v) }
+      atomicWrite(keyIndexFile, mapper.writeValueAsString(node))
+      merged
+    }
   }
+
+  /** Latest committed append snapshot carrying `key` (idempotency lookup) —
+    * O(1) amortized via the keys.json index. */
+  def appendIdForKey(key: String): Option[Long] = syncKeyIndex().get(key)
+
+  // --------------------------------------------------------------- commits
 
   /** Append a DataFrame as a new snapshot. `tsCol` drives per-file min/max
     * stats. `key` (optional) makes the append idempotent: if a committed
     * append already carries the key, nothing is written and its id is
-    * returned — the contract streaming foreachBatch replays rely on. */
+    * returned — the contract streaming foreachBatch replays rely on.
+    *
+    * The snapshot manifest lists ONLY this append's files (delta), except
+    * every `BaseEvery`-th append in a chain, which materializes the full
+    * live set so reads stay bounded. */
   def append(df: DataFrame, tsCol: String, key: Option[String] = None): Long =
     key.flatMap(appendIdForKey).getOrElse {
-      val parent = currentSnapshotId
+      val parent = current
+      val parentId = parent.map(_.id).getOrElse(0L)
       val (id, dir) = commitDataDir(df)
       val entries = statsOf(df.sparkSession, dir, tsCol)
-      val prev = current.map(_.files).getOrElse(Nil)
-      writeSnapshot(Snapshot(id, parent, "append", prev ++ entries, key))
+      val newChainLen = parent.map(_.chainLen + 1).getOrElse(1)
+      val snap =
+        if (parent.isEmpty || newChainLen >= BaseEvery)
+          Snapshot(id, parentId, "append", parent.map(liveFiles).getOrElse(Nil) ++ entries,
+            key, delta = false, chainLen = 0)
+        else
+          Snapshot(id, parentId, "append", entries, key, delta = true, chainLen = newChainLen)
+      writeSnapshot(snap)
+      syncKeyIndex() // post-commit; stale-only on crash, healed next lookup
       id
     }
 
@@ -201,7 +318,7 @@ final class IceTable(val root: String) {
   }
 
   private def scanSnapshot(spark: SparkSession, s: Option[Snapshot], loUs: Long, hiUs: Long): DataFrame = {
-    val files = s.map(_.files).getOrElse(Nil)
+    val files = s.map(liveFiles).getOrElse(Nil)
       .filter(f => f.maxTsUs >= loUs && f.minTsUs <= hiUs)
       .map(_.path)
     if (files.isEmpty) spark.emptyDataFrame
@@ -211,10 +328,12 @@ final class IceTable(val root: String) {
   /** Retention expiry: metadata-only snapshot dropping files entirely older
     * than the cutoff. Rows in straddling files are NOT dropped here — pair
     * with a filter at read time or a rewrite; tier buckets align to file
-    * boundaries in practice so straddlers are rare. Returns new snapshot id. */
+    * boundaries in practice so straddlers are rare. Expiry changes the set
+    * non-monotonically, so it always writes a BASE manifest (and thereby
+    * compacts any delta chain above it). Returns new snapshot id. */
   def expireOlderThan(cutoffUs: Long): Long = {
     val parent = currentSnapshotId
-    val kept = current.map(_.files).getOrElse(Nil).filter(_.maxTsUs >= cutoffUs)
+    val kept = currentLiveFiles.filter(_.maxTsUs >= cutoffUs)
     val id = nextId
     writeSnapshot(Snapshot(id, parent, "expire", kept))
     id
@@ -222,7 +341,8 @@ final class IceTable(val root: String) {
 
   /** Compaction rewrite: coalesce the current file set into ~`targetFiles`
     * new data files and commit as an op="rewrite" snapshot (Iceberg
-    * rewriteDataFiles analog). Old files stay on disk for time travel;
+    * rewriteDataFiles analog) — always a BASE manifest, so it also
+    * collapses the delta chain. Old files stay on disk for time travel;
     * `expireOlderThan`-style manifest pruning governs logical visibility.
     * Rows and their `tsCol` stats are preserved exactly. */
   def rewriteCompact(spark: SparkSession, tsCol: String, targetFiles: Int = 1): Long = {
@@ -235,11 +355,14 @@ final class IceTable(val root: String) {
 
   /** Total (rows, bytes) in the current snapshot — table-level metrics. */
   def metrics: (Long, Long) = {
-    val fs = current.map(_.files).getOrElse(Nil)
+    val fs = currentLiveFiles
     (fs.map(_.rows).sum, fs.map(_.bytes).sum)
   }
 }
 
 object IceTable {
+  /** Delta-chain bound: every BaseEvery-th append writes a full manifest. */
+  val BaseEvery = 64
+
   def apply(root: String): IceTable = new IceTable(root)
 }

@@ -28,7 +28,7 @@ class IceTableSpec extends SparkSpec {
     assert(t.metrics._1 == turnsDf.count())
     assert(t.scan(spark).count() == turnsDf.count())
     // older snapshot still readable (time travel by id)
-    assert(t.snapshot(1).get.files.map(_.rows).sum == half1.count())
+    assert(t.liveFiles(1).map(_.rows).sum == half1.count())
   }
 
   test("keyed append is idempotent: replaying an epoch is a no-op") {
@@ -102,7 +102,7 @@ class IceTableSpec extends SparkSpec {
     assert(t.current.get.op == "expire" && t.current.get.id == id)
     assert(t.scan(spark).count() == late.count())
     // expired snapshot still on disk (audit) — time travel sees old files
-    assert(t.snapshot(2).get.files.map(_.rows).sum == early.count() + late.count())
+    assert(t.liveFiles(2).map(_.rows).sum == early.count() + late.count())
   }
 
   test("rewriteCompact coalesces files, preserves rows, keeps time travel") {
@@ -110,14 +110,50 @@ class IceTableSpec extends SparkSpec {
     t.append(turnsDf.where($"turn_idx" % 2 === 0), "ts")
     t.append(turnsDf.where($"turn_idx" % 2 === 1), "ts")
     val before = t.scan(spark).orderBy("conv_id", "turn_idx").collect()
-    val nFilesBefore = t.current.get.files.length
+    val nFilesBefore = t.currentLiveFiles.length
     val id = t.rewriteCompact(spark, "ts", targetFiles = 1)
     assert(t.current.get.op == "rewrite" && t.current.get.id == id)
-    assert(t.current.get.files.length < nFilesBefore)
+    assert(t.currentLiveFiles.length < nFilesBefore)
     val after = t.scan(spark).orderBy("conv_id", "turn_idx").collect()
     assert(after.sameElements(before))
     // pre-rewrite snapshot still resolvable
-    assert(t.snapshot(2).get.files.map(_.rows).sum == before.length)
+    assert(t.liveFiles(2).map(_.rows).sum == before.length)
+  }
+
+  test("append manifests are delta: snapshot JSON entries stay O(new files) across N appends") {
+    val t = IceTable(tmp("ice"))
+    val days = (10 to 19).map(d => turnsDf.where($"ts" >= f"2025-01-$d%02d" && $"ts" < f"2025-01-${d + 1}%02d"))
+    days.foreach(d => t.append(d.coalesce(1), "ts"))
+    // every append after the first base lists ONLY its own files (1 here),
+    // not the cumulative live set — N appends write O(N) total entries,
+    // not the O(N²) a full-list-per-snapshot log accumulates
+    val entryCounts = (1L to t.currentSnapshotId).map(id => t.snapshot(id).get.files.length)
+    assert(entryCounts.max <= 2, s"append manifests must be delta-sized, got $entryCounts")
+    // the resolved live set is still complete and scan-correct
+    assert(t.currentLiveFiles.map(_.rows).sum == days.map(_.count()).sum)
+    assert(t.scan(spark).count() == days.map(_.count()).sum)
+    // expire compacts the chain into a base manifest
+    t.expireOlderThan(Long.MinValue)
+    assert(!t.current.get.delta && t.current.get.files.length == t.currentLiveFiles.length)
+  }
+
+  test("keyed lookup uses the keys.json index, heals when stale, survives deletion") {
+    val t = IceTable(tmp("ice"))
+    val ids = (0 until 5).map { e =>
+      t.append(turnsDf.where($"turn_idx" % 5 === e).coalesce(1), "ts", key = Some(s"ck#epoch-$e"))
+    }
+    assert(t.appendIdForKey("ck#epoch-3").contains(ids(3)))
+    assert(t.appendIdForKey("nope").isEmpty)
+    // the index is a pure cache over the snapshot log: deleting it must not
+    // change any answer (it rebuilds from the log on the next lookup)
+    val idx = new java.io.File(s"${t.root}/keys.json")
+    assert(idx.exists(), "keys.json index must exist after keyed appends")
+    assert(idx.delete())
+    assert(t.appendIdForKey("ck#epoch-1").contains(ids(1)))
+    assert(idx.exists(), "lookup must rebuild the index")
+    // replay through the healed index is still a no-op
+    val replay = t.append(turnsDf.where($"turn_idx" % 5 === 2), "ts", key = Some("ck#epoch-2"))
+    assert(replay == ids(2) && t.currentSnapshotId == ids.last)
   }
 
   test("checkpointed rollup resumes after crash with identical output") {
