@@ -823,6 +823,153 @@ object Queries {
           |  count(*) AS n_events, round(sum(value), 6) AS sum_v
           |FROM i GROUP BY user_id, sid""".stripMargin))),
 
+    // FLAGSHIP COMPOSITION #2 (reference weekly-cardio-measures.R:256-608
+    // end-to-end on the events shape): QC-range→NULL (P5, rows kept) →
+    // wear-time-gate semi-join (J7: only (user, day)s with ≥3 events pass,
+    // the ≥480-min analog) → Sunday-anchored weekly rollup with
+    // NA-preserving sum + non-null count + mean blocks (A8/A13 registry)
+    // → unpivot to long concept rows (J9) → day-count expansion into
+    // multiple concept names unioned on (J10). Every stage is an
+    // individually-proven operator; this row proves the COMPOSITION
+    // (gate-before-rollup ordering, NA preservation through the unpivot,
+    // concept-name fan-out alignment).
+    "q_weekly_concepts" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir)
+        val qc = ev
+          .withColumn("v", Scalars.qcRange(col("value"), 10.0, 90.0))
+          .withColumn("day", date_trunc("day", col("ts")))
+        // gate days by raw-row count BEFORE the weekly rollup (reference
+        // gates on wear-time minutes, then aggregates the survivors); the
+        // per-day aggregate is unbounded in (user, day) — no broadcast
+        // hint, AQE decides (left-semi join)
+        val gated = qc.join(
+          qc.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+            .where(col("n") >= 3)
+            .select(col("user_id"), col("day")),
+          Seq("user_id", "day"), "left_semi")
+          .withColumn("week_start", TimeBuckets.weekSunday(col("ts")))
+        val weekly = MetricRegistry.summarize(
+          gated, Seq(col("user_id").as("conv_id"), col("week_start")),
+          Seq("v" -> col("v")), Seq("na_sum", "count", "mean"))
+        val wide = weekly.select(
+          col("conv_id"), col("week_start"),
+          round(col("v_na_sum"), 6).as("v_na_sum"),
+          col("v_count").cast("double").as("v_count"),
+          round(col("v_mean"), 6).as("v_mean"))
+        val concepts = MetricRegistry
+          .toConceptRows(wide, Seq("conv_id", "week_start"), "summary:weekly:")
+        // J10: ONE weekly day-count row expands into several concept rows
+        val daycount = gated
+          .groupBy(col("user_id").as("conv_id"), col("week_start"))
+          .agg(countDistinct(col("day")).cast("double").as("nval_num"))
+          .select(col("conv_id"), col("week_start"),
+            explode(array(
+              lit("summary:weekly:daycount:v"),
+              lit("adherence:weekly:daycount:v"))).as("concept"),
+            col("nval_num"))
+        concepts.unionByName(daycount)
+          .select(col("conv_id"), col("week_start"), col("concept"), col("nval_num"))
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT user_id, ts, date_trunc('day', ts) AS day,
+          |    CASE WHEN value BETWEEN 10.0 AND 90.0 THEN value END AS v
+          |  FROM events),
+          |g AS (SELECT user_id, day FROM q GROUP BY 1, 2 HAVING count(*) >= 3),
+          |f AS (SELECT q.* FROM q JOIN g USING (user_id, day)),
+          |w AS (
+          |  SELECT user_id AS conv_id,
+          |    date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week_start,
+          |    round(sum(v), 6) AS v_na_sum,
+          |    count(v)::double AS v_count,
+          |    round(avg(v), 6) AS v_mean
+          |  FROM f GROUP BY 1, 2),
+          |dc AS (
+          |  SELECT user_id AS conv_id,
+          |    date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week_start,
+          |    count(DISTINCT day)::double AS nval_num
+          |  FROM f GROUP BY 1, 2)
+          |SELECT conv_id, week_start, 'summary:weekly:v_na_sum' AS concept, v_na_sum AS nval_num FROM w
+          |UNION ALL SELECT conv_id, week_start, 'summary:weekly:v_count' AS concept, v_count FROM w
+          |UNION ALL SELECT conv_id, week_start, 'summary:weekly:v_mean' AS concept, v_mean FROM w
+          |UNION ALL SELECT dc.conv_id, dc.week_start, t.concept, dc.nval_num
+          |  FROM dc CROSS JOIN (VALUES ('summary:weekly:daycount:v'),
+          |    ('adherence:weekly:daycount:v')) t(concept)""".stripMargin))),
+
+    // FLAGSHIP COMPOSITION #3 (reference sleepSD.R:52-266 on the events
+    // shape): A11 anchor = min over TWO per-entity date aggregates with NA
+    // handling (the infection anchor, sleepSD.R:9-13) → P7 post-anchor
+    // retention filter → A10 circular SD of time-of-day per (entity, day)
+    // → F1/F2 sliding 3- AND 26-bucket window stats with the reference's
+    // exact-completeness rule (period_dt==21/182 → here count==width;
+    // incomplete windows yield NULL, not dropped rows, so both widths live
+    // in one result).
+    "q_sleepsd_windows" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir)
+        val day = date_trunc("day", col("ts"))
+        val anchors = ev.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "purchase", day)).as("a1"),
+          min(when(col("event_type") === "click", day)).as("a2"))
+          .select(col("user_id"),
+            least(coalesce(col("a1"), col("a2")), coalesce(col("a2"), col("a1"))).as("anchor"))
+        // per-entity anchors are unbounded — hint-free join, AQE decides
+        val ret = ev.join(anchors, Seq("user_id"))
+          .where(day >= col("anchor") + expr("INTERVAL 2 DAY"))
+        val daily = ret
+          .groupBy(col("user_id").as("conv_id"), day.as("day"))
+          .agg(round(MetricRegistry.registry("circular_sd")(Rollup.todHours(col("ts"))), 6).as("circ_sd"))
+          .withColumn("day_idx", (unix_timestamp(col("day").cast("timestamp")) / 86400).cast("long"))
+        val w3 = Window.partitionBy(col("conv_id")).orderBy(col("day_idx")).rangeBetween(-2, 0)
+        val w26 = Window.partitionBy(col("conv_id")).orderBy(col("day_idx")).rangeBetween(-25, 0)
+        daily.select(
+          col("conv_id"), col("day_idx"), col("circ_sd"),
+          when(count(lit(1)).over(w3) === 3, round(avg(col("circ_sd")).over(w3), 6)).as("sd3_mean"),
+          when(count(lit(1)).over(w3) === 3, round(stddev_samp(col("circ_sd")).over(w3), 6)).as("sd3_sd"),
+          when(count(lit(1)).over(w26) === 26, round(avg(col("circ_sd")).over(w26), 6)).as("sd26_mean"))
+      },
+      Some(
+        s"""WITH a AS (
+           |  SELECT user_id,
+           |    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END) AS a1,
+           |    min(CASE WHEN event_type = 'click' THEN date_trunc('day', ts) END) AS a2
+           |  FROM events GROUP BY 1),
+           |an AS (SELECT user_id, least(coalesce(a1, a2), coalesce(a2, a1)) AS anchor FROM a),
+           |r AS (
+           |  SELECT e.user_id, e.ts FROM events e JOIN an USING (user_id)
+           |  WHERE date_trunc('day', e.ts) >= an.anchor + INTERVAL 2 DAY),
+           |d AS (
+           |  SELECT user_id AS conv_id,
+           |    epoch(date_trunc('day', ts)) // 86400 AS day_idx,
+           |    round(sqrt(-2.0 * ln(least(sqrt(avg(sin(2*pi()*$todHoursDuck/24.0))^2
+           |      + avg(cos(2*pi()*$todHoursDuck/24.0))^2), 1.0))) * 24.0 / (2*pi()), 6) AS circ_sd
+           |  FROM r GROUP BY 1, 2)
+           |SELECT conv_id, day_idx, circ_sd,
+           |  CASE WHEN count(*) OVER w3 = 3 THEN round(avg(circ_sd) OVER w3, 6) END AS sd3_mean,
+           |  CASE WHEN count(*) OVER w3 = 3 THEN round(stddev_samp(circ_sd) OVER w3, 6) END AS sd3_sd,
+           |  CASE WHEN count(*) OVER w26 = 26 THEN round(avg(circ_sd) OVER w26, 6) END AS sd26_mean
+           |FROM d
+           |WINDOW w3 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+           |       w26 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""".stripMargin))),
+
+    // S2 pattern-based dataset discovery: list the storage root once,
+    // select datasets by name regex (str_subset analog), open and union
+    // them (fetch-data.R:45-56 + daily-measures.R:5).
+    "q_catalog_discovery" -> ((
+      (s: SparkSession, dir: String) => {
+        val found = graft.sources.Catalog.discoverByName(s, dir, "^(nation|region)\\.parquet$")
+        require(found.nonEmpty, s"no datasets matching pattern under $dir")
+        found.map { case (name, path) =>
+          graft.sources.Catalog.open(s, path)
+            .groupBy(lit(name).as("tbl"))
+            .agg(count(lit(1)).as("n_rows"))
+        }.reduce(_.unionByName(_))
+      },
+      Some(
+        """SELECT 'nation' AS tbl, count(*) AS n_rows FROM nation
+          |UNION ALL SELECT 'region' AS tbl, count(*) AS n_rows FROM region""".stripMargin))),
+
     // §2.9 unpivot: wide tier stats → long concept rows
     // (reference gather → (entity, bucket, concept, nval_num)).
     "q_unpivot_1d" -> ((
@@ -958,6 +1105,35 @@ object Queries {
           |  round(len(list_intersect(a.ng, b.ng))::double / len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
           |FROM g a JOIN g b ON a.source = b.source AND a.len_band = b.len_band AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.ng, b.ng))::double / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.7""".stripMargin))),
+
+    // Exact set-similarity self-join with NO blocking key: AllPairs/PPJoin
+    // prefix filtering over word-3-gram shingles (Dedup.prefixJaccardPairs)
+    // — the scale-right dedup path for unblockable corpora. Word shingles
+    // (not char n-grams) keep prefix tokens rare and join groups small;
+    // the 64-bit shingle hashing preserves exact Jaccard w.h.p. (see
+    // q_ngram_jaccard_block note). Oracle = brute-force exact Jaccard over
+    // all pairs, which the prefix filter must reproduce EXACTLY.
+    "q_prefix_jaccard" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.prefixJaccardPairs(
+          wide(s, dir, "documents"), col("doc_id"),
+          Dedup.wordShingles(col("text"), 3), 0.35)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+          |           for i in generate_series(1, len(toks)-2)]) END AS ng
+          |  FROM t)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  round(len(list_intersect(a.ng, b.ng))::double
+          |    / len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
+          |FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.ng, b.ng))::double
+          |  / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.35""".stripMargin))),
 
     // Brute-force cosine top-10 vs the vec_id=0 query vector.
     "q_topk_cosine" -> ((

@@ -246,17 +246,29 @@ object Dedup {
       .join(dfreq, Seq("t"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
       .where(col("rn") <= p)
-      .select((col("t") +: col("id") +: col("n") +: keyNames.map(col)): _*)
+      .select((col("t") +: col("id") +: col("n") +: col("rn") +: keyNames.map(col)): _*)
     val a = prefix.select(
-      (col("t") +: col("id").as("id_a") +: col("n").as("n_a") +: keyNames.map(col)): _*)
+      (col("t") +: col("id").as("id_a") +: col("n").as("n_a") +: col("rn").as("rn_a") +:
+        keyNames.map(col)): _*)
     val b = prefix.select(
-      (col("t").as("t_b") +: col("id").as("id_b") +: col("n").as("n_b") +:
+      (col("t").as("t_b") +: col("id").as("id_b") +: col("n").as("n_b") +: col("rn").as("rn_b") +:
         keyNames.map(k => col(k).as(s"${k}_b"))): _*)
+    // PPJoin POSITIONAL filter (Xiao, Wang, Lin & Yu, WWW 2008 — public
+    // literature): J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|); a shared prefix
+    // token at ordered position i of A and j of B bounds the achievable
+    // overlap by 1 + min(|A|−i, |B|−j) (everything strictly before the
+    // match on either side is disjoint in the shared total order), so
+    // pairs below the bound never reach the verify join. Real-valued RHS
+    // (no ceil) is a safe relaxation — can only ADD candidates.
+    val overlapBound =
+      (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b"))).cast("double") >=
+        lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b"))
     val joinCond = keyNames
       .map(k => col(k) === col(s"${k}_b"))
       .foldLeft(
         col("t") === col("t_b") && col("id_a") < col("id_b") &&
-          least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= threshold)(_ && _)
+          least(col("n_a"), col("n_b")).cast("double") / greatest(col("n_a"), col("n_b")) >= threshold &&
+          overlapBound)(_ && _)
     val pairs = a.join(b, joinCond)
       .select((col("id_a") +: col("id_b") +: keyNames.map(col)): _*)
       .distinct()
