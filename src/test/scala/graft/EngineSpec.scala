@@ -120,4 +120,37 @@ class EngineSpec extends SparkSpec {
       assert(b.getLong(2) == r.getLong(2) && b.getDouble(3) == r.getDouble(3))
     }
   }
+
+  test("streaming 1m tier over sf0.01 events equals the batch tier in FULL (row-for-row)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamTier
+    // the driver's sf0.01 events table as the stream source; one sentinel
+    // row a day past the real max pushes the final watermark beyond every
+    // real bucket, so append mode emits the COMPLETE tier (the prefix
+    // carve-out of the fixture test above is not needed here)
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select($"user_id".as("conv_id"), $"ts".cast("timestamp").as("ts"), $"value")
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), 0.0))
+      .toDF("conv_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("stream-ev").toString
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = StreamTier.tierAggregate(stream, $"value", "1 minute", "10 minutes")
+      .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+      .format("memory").queryName("t1m_full").start()
+    q.processAllAvailable(); q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"conv_id", $"bucket_start", $"n_rows", $"n_vals",
+        round($"sum", 6).as("s"), $"min", $"max", round($"sum_sin", 9).as("ss"))
+      .orderBy("conv_id", "bucket_start")
+      .collect()
+    val streamed = canon(spark.table("t1m_full").where($"conv_id" =!= -1L))
+    val batch = canon(Rollup.rollupRaw(ev, $"conv_id", $"ts", $"value", "1 minute"))
+    assert(batch.length == streamed.length,
+      s"full equality: batch ${batch.length} vs streamed ${streamed.length} buckets")
+    assert(streamed.sameElements(batch))
+  }
 }
