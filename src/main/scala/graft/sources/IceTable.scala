@@ -183,7 +183,9 @@ final class IceTable(val root: String) {
     math.max(currentSnapshotId, math.max(maxId(snapDir, "v", ".json"), maxId(dataDir, "snap-", ""))) + 1
   }
 
-  private def writeSnapshot(s: Snapshot): Unit = {
+  /** Write/overwrite a snapshot JSON WITHOUT moving CURRENT (also used by
+    * vacuum's in-place manifest rebase). */
+  private def writeSnapshotJson(s: Snapshot): Unit = {
     fs.mkdirs(snapDir)
     val node: ObjectNode = mapper.createObjectNode()
     node.put("id", s.id)
@@ -200,6 +202,10 @@ final class IceTable(val root: String) {
     }
     atomicWrite(new Path(snapDir, f"v${s.id}%05d.json"),
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+  }
+
+  private def writeSnapshot(s: Snapshot): Unit = {
+    writeSnapshotJson(s)
     // commit point: atomic overwrite-rename of CURRENT
     atomicWrite(currentFile, s.id.toString)
   }
@@ -357,6 +363,79 @@ final class IceTable(val root: String) {
   def metrics: (Long, Long) = {
     val fs = currentLiveFiles
     (fs.map(_.rows).sum, fs.map(_.bytes).sum)
+  }
+
+  /** PHYSICAL space reclamation (Iceberg expire_snapshots +
+    * remove_orphan_files analog): drop snapshot JSONs older than
+    * `keepFromId` and delete every data file no kept snapshot references.
+    * `expireOlderThan`/`rewriteCompact` are metadata-only so time travel
+    * stays cheap; at retention scale the aged bytes must eventually be
+    * reclaimed, and this is that action. Time travel to ids < keepFromId
+    * is gone afterwards; CURRENT and all newer snapshots stay readable.
+    *
+    * Kept DELTA snapshots whose parent chain dips below the horizon are
+    * first rewritten in place as base manifests (same id/parent/op/key,
+    * full file list — Iceberg's manifest rewrite), so resolution never
+    * touches a deleted JSON. Stale keys.json entries are left alone
+    * deliberately: "was this epoch committed" must stay true for replay
+    * idempotency even after its snapshot is vacuumed.
+    *
+    * Returns (snapshots deleted, data files deleted, bytes freed). */
+  def vacuum(keepFromId: Long): (Int, Int, Long) = {
+    val curId = currentSnapshotId
+    require(keepFromId <= curId, s"keepFromId $keepFromId is ahead of CURRENT $curId")
+    val keptIds = (keepFromId to curId).flatMap(id => snapshot(id).map(_ => id))
+    // rebase kept deltas whose parent chain crosses the horizon BEFORE
+    // deleting (ids can skip after crashed commits, so walk the chain
+    // rather than arithmetic on chainLen — bounded at BaseEvery reads)
+    keptIds.foreach { id =>
+      val s = snapshot(id).get
+      if (s.delta) {
+        var cur = s
+        var crosses = false
+        while (cur.delta && !crosses) {
+          if (cur.parentId < keepFromId) crosses = true
+          else cur = snapshot(cur.parentId).get
+        }
+        if (crosses) writeSnapshotJson(s.copy(files = liveFiles(s), delta = false, chainLen = 0))
+      }
+    }
+    val referenced = keptIds.flatMap(id => liveFiles(id)).map(f => new Path(f.path)).toSet
+    // delete unreferenced data files (+ any crashed-commit temp dirs)
+    var filesDeleted = 0
+    var bytesFreed = 0L
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).foreach { d =>
+        if (d.getPath.getName.startsWith(".tmp-")) fs.delete(d.getPath, true): Unit
+        else {
+          // skip _SUCCESS/._* markers — Hadoop convention for non-data files
+          fs.listStatus(d.getPath).foreach { f =>
+            val name = f.getPath.getName
+            if (!name.startsWith("_") && !name.startsWith(".") && !referenced.contains(f.getPath)) {
+              bytesFreed += f.getLen
+              filesDeleted += 1
+              fs.delete(f.getPath, false): Unit
+            }
+          }
+          if (!fs.listStatus(d.getPath).exists(f => !f.getPath.getName.startsWith("_")))
+            fs.delete(d.getPath, true): Unit
+        }
+      }
+    }
+    // drop pre-horizon snapshot JSONs
+    var snapsDeleted = 0
+    if (fs.exists(snapDir)) {
+      fs.listStatus(snapDir).foreach { f =>
+        val n = f.getPath.getName
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption.foreach { id =>
+          if (n.startsWith("v") && n.endsWith(".json") && id < keepFromId) {
+            snapsDeleted += 1
+            fs.delete(f.getPath, false): Unit
+          }
+        }
+      }
+    }
+    (snapsDeleted, filesDeleted, bytesFreed)
   }
 }
 

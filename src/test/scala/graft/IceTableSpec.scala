@@ -156,6 +156,41 @@ class IceTableSpec extends SparkSpec {
     assert(replay == ids(2) && t.currentSnapshotId == ids.last)
   }
 
+  test("vacuum reclaims bytes of unreferenced files, drops old snapshots, rebases kept deltas") {
+    val t = IceTable(tmp("ice"))
+    val thirds = (0 until 3).map(k => turnsDf.where($"turn_idx" % 3 === k))
+    thirds.foreach(d => t.append(d.coalesce(1), "ts"))
+    val compactId = t.rewriteCompact(spark, "ts") // pre-compaction files now unreferenced
+    val extraId = t.append(thirds(0).limit(7).coalesce(1), "ts") // a kept DELTA over the rewrite base
+    val expected = t.scan(spark).count()
+
+    val (snaps, files, bytes) = t.vacuum(keepFromId = compactId)
+    assert(snaps == 3 && files == 3 && bytes > 0,
+      s"3 pre-compaction snapshots + their files must go, got ($snaps, $files, $bytes)")
+    // current lineage unaffected: full scan + the kept delta still resolve
+    assert(t.currentSnapshotId == extraId)
+    assert(t.scan(spark).count() == expected)
+    assert(t.scanAt(spark, compactId).count() == turnsDf.count())
+    // pre-horizon time travel is gone (that is the point of vacuum)
+    intercept[IllegalArgumentException](t.scanAt(spark, 1L))
+    // idempotent: nothing left to reclaim
+    assert(t.vacuum(keepFromId = compactId) == ((0, 0, 0L)))
+  }
+
+  test("vacuum rebases a kept delta whose chain crosses the horizon") {
+    val t = IceTable(tmp("ice"))
+    val thirds = (0 until 3).map(k => turnsDf.where($"turn_idx" % 3 === k))
+    val ids = thirds.map(d => t.append(d.coalesce(1), "ts")) // base, delta, delta
+    val expected = t.scan(spark).count()
+    // keep only the LAST delta: its chain references both dropped snapshots,
+    // so vacuum must materialize it as a base manifest first
+    val (snaps, files, bytes) = t.vacuum(keepFromId = ids.last)
+    assert(snaps == 2 && files == 0 && bytes == 0L,
+      s"all data files stay referenced by the rebased head, got ($snaps, $files, $bytes)")
+    assert(!t.current.get.delta && t.scan(spark).count() == expected)
+    assert(t.currentLiveFiles.length == 3)
+  }
+
   test("checkpointed rollup resumes after crash with identical output") {
     val t = IceTable(tmp("ice"))
     t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")
