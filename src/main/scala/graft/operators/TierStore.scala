@@ -33,7 +33,30 @@ object TierStore {
 
   final case class TierTables(t1m: IceTable, t1h: IceTable, t1d: IceTable)
 
-  /** Build (or rebuild) the three tier tables under `root`/{1m,1h,1d}. */
+  /** Range-partition a tier by bucket time before it hits parquet, so each
+    * data file covers a BOUNDED time slice (within-file rows clustered by
+    * entity). Hash-partitioned aggregate output scatters every time range
+    * across every file, which makes manifest min/max stats useless: expiry
+    * can never drop a file (all straddle) and time-pruned scans read
+    * everything. Time-clustered layout is what turns `expireOlderThan` /
+    * `vacuum` / stat-pruned scans into O(affected slice) actions — the
+    * Iceberg days(bucket_start) partitioning analog. */
+  private def timeClustered(tier: DataFrame, slices: Int): DataFrame =
+    tier.repartitionByRange(slices, col("bucket_start"), col("conv_id"))
+      .sortWithinPartitions(col("bucket_start"), col("conv_id"))
+
+  /** Build (or rebuild) the three tier tables under `root`/{1m,1h,1d}.
+    *
+    * Each tier is RANGE-partitioned on (bucket_start, conv_id) before it
+    * hits parquet, so every data file covers a bounded time slice (the
+    * Iceberg days(bucket_start) partitioning analog). Hash-partitioned
+    * aggregate output scatters every time range across every file, which
+    * makes manifest min/max stats useless — expiry could never drop a file
+    * (all straddle) and time-pruned scans would read everything. The slice
+    * count comes from the source manifest's time span (metadata-only) with
+    * the session's shuffle parallelism as a floor; it is passed explicitly
+    * because AQE would coalesce an unsized range exchange into few
+    * partitions at small scale. */
   def build(
       spark: SparkSession,
       source: IceTable,
@@ -41,17 +64,29 @@ object TierStore {
       value: Column): TierTables = {
     val raw = source.scan(spark)
     val withVal = raw.withColumn("_v", value)
+    val day = 86400000000L
+    val files = source.currentLiveFiles
+    val spanDays =
+      if (files.isEmpty) 1
+      else ((files.map(_.maxTsUs).max - files.map(_.minTsUs).min) / day + 1).toInt
+    val slices = math.max(spanDays, spark.sessionState.conf.numShufflePartitions)
 
     val t1m = IceTable(s"$root/1m")
     t1m.append(
-      Rollup.rollupRawWithGorilla(withVal, col("conv_id"), col("ts"), col("_v"), "1 minute"),
+      timeClustered(
+        Rollup.rollupRawWithGorilla(withVal, col("conv_id"), col("ts"), col("_v"), "1 minute"),
+        slices),
       "bucket_start")
 
     val t1h = IceTable(s"$root/1h")
-    t1h.append(Rollup.rollupTierWithGorilla(t1m.scan(spark), "1 hour"), "bucket_start")
+    t1h.append(
+      timeClustered(Rollup.rollupTierWithGorilla(t1m.scan(spark), "1 hour"), slices),
+      "bucket_start")
 
     val t1d = IceTable(s"$root/1d")
-    t1d.append(Rollup.rollupTierWithGorilla(t1h.scan(spark), "1 day"), "bucket_start")
+    t1d.append(
+      timeClustered(Rollup.rollupTierWithGorilla(t1h.scan(spark), "1 day"), slices),
+      "bucket_start")
 
     TierTables(t1m, t1h, t1d)
   }
@@ -116,4 +151,15 @@ object TierStore {
     tiers.t1m.expireOlderThan(nowUs - ttl1mUs),
     tiers.t1h.expireOlderThan(nowUs - ttl1hUs),
     tiers.t1d.expireOlderThan(nowUs - ttl1dUs))
+
+  /** Physical space reclamation across the ladder: each tier keeps only
+    * snapshots from its latest expire onward and vacuums everything older
+    * (IceTable.vacuum). Run OUT OF BAND after applyRetention — expiry stays
+    * a cheap metadata action on the write path; byte reclamation is a
+    * janitor job, exactly like Iceberg's expire_snapshots maintenance.
+    * Returns per-tier (snapshots, files, bytes) freed. */
+  def vacuumRetention(tiers: TierTables): Seq[(Int, Int, Long)] =
+    Seq(tiers.t1m, tiers.t1h, tiers.t1d).map { t =>
+      t.vacuum(keepFromId = t.currentSnapshotId)
+    }
 }

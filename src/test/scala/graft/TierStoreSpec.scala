@@ -115,5 +115,13 @@ class TierStoreSpec extends SparkSpec {
     assert(lo1m.after(lo1h) || lo1m.equals(lo1h), s"1m ($lo1m) must not retain longer than 1h ($lo1h)")
     assert(!lo1d.after(lo1h), "1d keeps at least as much history as 1h")
     assert(tiers.t1m.current.get.op == "expire")
+
+    // out-of-band janitor: physical reclamation frees the 1m tier's aged
+    // bytes (its retention bit hardest) and post-vacuum scans are unchanged
+    val before1m = tiers.t1m.scan(spark).count()
+    val freed = TierStore.vacuumRetention(tiers)
+    assert(freed.head._3 > 0, s"1m tier must free bytes, got $freed")
+    assert(tiers.t1m.scan(spark).count() == before1m)
+    assert(tiers.t1d.scan(spark).count() > 0)
   }
 }
