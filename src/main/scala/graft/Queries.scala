@@ -1117,7 +1117,7 @@ object Queries {
       (s: SparkSession, dir: String) =>
         Dedup.prefixJaccardPairs(
           wide(s, dir, "documents"), col("doc_id"),
-          Dedup.wordShingles(col("text"), 3), 0.35)
+          graft.plans.TextHashes.wordShingleHashes(col("text"), 3), 0.35)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
       Some(
         """WITH t AS (

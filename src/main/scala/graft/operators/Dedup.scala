@@ -103,7 +103,12 @@ object Dedup {
       bands: Int = 16, // r=2 rows/band: ~94% candidate recall at j=0.4
       threshold: Double = 0.35,
       maxBucketSize: Int = 100): DataFrame = {
-    val sh = df.select(id.as("id"), wordShingles(text, n).as("sh"))
+    // one-pass sorted-distinct shingle HASHES (TextHashes.WordShingleHashes):
+    // the string-shingle composition re-ran the tokenizer inside every HOF
+    // lambda iteration (no CSE in lambdas) — measured as the dominant cost;
+    // MinHashSig chains its int mixes from these hashes bit-identically,
+    // and the exact-Jaccard verify walks the sorted hash arrays directly
+    val sh = df.select(id.as("id"), graft.plans.TextHashes.wordShingleHashes(text, n).as("sh"))
     val rows = k / bands
     // explode the band INDEX first (Generate is an expression barrier: the
     // signature is computed once per row and duplicated as a VALUE), then
@@ -131,7 +136,8 @@ object Dedup {
       // before the expensive intersect/union — result-preserving
       .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
         / greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.SetOps.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -231,8 +237,17 @@ object Dedup {
     // 64-bit-hash the shingles (fixed-width compares downstream; a
     // collision needs two distinct shingles of one union to collide in 64
     // bits) and sort for the merge-walk verify; the prefix theorem only
-    // needs SOME consistent global total order, so hashed order is fine
-    val hashed = sort_array(transform(shingles, s => xxhash64(s)))
+    // needs SOME consistent global total order, so hashed order is fine.
+    // An array<long> input (TextHashes.wordShingleHashes — already sorted
+    // distinct hashes, built in one pass per row) is used as-is: the
+    // composed hash-of-strings form re-evaluates the shingle expression
+    // inside the HOF lambda per element, which measured as the dominant
+    // cost of this operator.
+    val hashed = docs.select(shingles.as("_s")).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        sort_array(shingles) // pre-hashed; sort is idempotent on WordShingleHashes output
+      case _ => sort_array(transform(shingles, s => xxhash64(s)))
+    }
     val base = docs.select(
       (id.as("id") +: hashed.as("sh") +: blockKeys.map { case (n, c) => c.as(n) }): _*)
       .withColumn("n", size(col("sh")))

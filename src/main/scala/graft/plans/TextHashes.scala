@@ -31,14 +31,22 @@ object TextHashes {
 
   /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i),
     * as ONE string hash + k int mixes per shingle. Empty input → all slots
-    * Long.MaxValue (matches the fold's initial accumulator). */
+    * Long.MaxValue (matches the fold's initial accumulator). Also accepts
+    * PRE-HASHED shingles (array<long> of xxhash64(shingle) — what
+    * WordShingleHashes emits): the string hash is then skipped and the int
+    * mixes chain from the given base, producing bit-identical signatures. */
   case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+    private lazy val preHashed: Boolean = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string>, got $t")
+      case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string> or array<long>, got $t")
     }
 
     override def nullSafeEval(input: Any): Any = {
@@ -48,7 +56,7 @@ object TextHashes {
       val n = arr.numElements()
       while (j < n) {
         if (!arr.isNullAt(j)) {
-          val base = hashString(arr.getUTF8String(j))
+          val base = if (preHashed) arr.getLong(j) else hashString(arr.getUTF8String(j))
           var i = 0
           while (i < k) {
             val h = XXH64.hashInt(i, base)
@@ -69,13 +77,15 @@ object TextHashes {
         val n = ctx.freshName("n")
         val base = ctx.freshName("base")
         val h = ctx.freshName("h")
+        val baseExpr =
+          if (preHashed) s"$a.getLong($j)"
+          else s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($a.getUTF8String($j), ${Seed}L)"
         s"""
            |java.util.Arrays.fill($sig, Long.MAX_VALUE);
            |final int $n = $a.numElements();
            |for (int $j = 0; $j < $n; $j++) {
            |  if (!$a.isNullAt($j)) {
-           |    final long $base = org.apache.spark.sql.catalyst.expressions.XXH64
-           |      .hashUTF8String($a.getUTF8String($j), ${Seed}L);
+           |    final long $base = $baseExpr;
            |    for (int $i = 0; $i < $k; $i++) {
            |      final long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($i, $base);
            |      if ($h < $sig[$i]) $sig[$i] = $h;
@@ -87,6 +97,42 @@ object TextHashes {
          """.stripMargin
       })
     }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** text → SORTED DISTINCT xxhash64 values of its word n-gram shingles,
+    * in ONE pass: lowercase, trim, whitespace-split, join each n-window
+    * with single spaces, hash, sort, dedupe.
+    *
+    * Semantics are exactly `sort_array(transform(wordShingles(text, n),
+    * s => xxhash64(s)))` (Dedup.wordShingles: texts shorter than n tokens
+    * shingle to the whole normalized text; empty text → [xxhash64("")]) —
+    * except duplicates are dropped on the HASH rather than the string,
+    * indistinguishable below a 64-bit collision within one document. The
+    * composed form re-evaluates the tokenizer inside every HOF lambda
+    * iteration (no CSE in lambdas — measured as the dominant cost of the
+    * prefix-join pipeline); this expression tokenizes once per row. The
+    * heavy lifting lives in a static helper the generated code calls, so
+    * the expression stays inside whole-stage codegen without Janino
+    * compiling the string logic. */
+  case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes expects string, got $t")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextHashes.wordShingleHashesCompute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.plans.TextHashes.wordShingleHashesCompute($t, $n);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -163,10 +209,49 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** One-pass body of WordShingleHashes (public static: invoked from the
+    * generated code). Tokenization reproduces `tokens(lower(text))`
+    * (Scalars/TextFunctions): lowercase → trim(' ') → regex \s+ split with
+    * Java semantics (a leading non-space whitespace yields a leading empty
+    * token, same as Spark's and DuckDB's regexp split). */
+  def wordShingleHashesCompute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val trimmed = text.toLowerCase.trim()
+    val toks: Array[UTF8String] =
+      if (trimmed.numChars() == 0) Array.empty
+      else trimmed.split(UTF8String.fromString("\\s+"), -1)
+    val sep = UTF8String.fromString(" ")
+    val hashes: Array[Long] =
+      if (toks.length < n) Array(hashString(UTF8String.concatWs(sep, toks: _*)))
+      else {
+        val out = new Array[Long](toks.length - n + 1)
+        var i = 0
+        while (i <= toks.length - n) {
+          val win = new Array[UTF8String](n)
+          System.arraycopy(toks, i, win, 0, n)
+          out(i) = hashString(UTF8String.concatWs(sep, win: _*))
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hashes)
+    // dedupe adjacent (sorted) — array_distinct-on-strings analog
+    var uniq = 0
+    var i = 0
+    while (i < hashes.length) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(uniq) = hashes(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, uniq))
+  }
+
   /** Column surfaces. */
   def minHashSig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))
 
   def simHash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  def wordShingleHashes(text: Column, n: Int): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(text), n))
 }
