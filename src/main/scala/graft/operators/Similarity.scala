@@ -107,13 +107,20 @@ object Similarity {
       .getOrElse(throw new IllegalArgumentException(
         "lshTopK: input has no rows — cannot infer embedding dimensionality"))
     val rows = nPlanes / bands
-    // band-index explode first: Generate barrier keeps the signature
-    // evaluated once per row (see Dedup.minhashLshPairs scaladoc)
+    // native packed signature (one primitive pass over all planes — the
+    // HOF form allocated a lambda frame + array zip per plane per row);
+    // band buckets are BIT SLICES of the packed signature, grouping on
+    // exactly the same sign-bit-equality relation the old hashed-string
+    // slices did, so candidate sets and results are unchanged. Band-index
+    // explode first: Generate barrier keeps the signature evaluated once
+    // per row (see Dedup.minhashLshPairs scaladoc).
+    val planesArr = Array.tabulate(nPlanes, dims)((p, d) => planeComponent(p, d))
     val banded = vecs
-      .select(col("id"), rhpSignature(col("e"), nPlanes, dims).as("sig"))
+      .select(col("id"), graft.plans.RhpSigPacked.rhpSigPacked(col("e"), planesArr).as("sig"))
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
-        xxhash64(concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows)).cast("array<string>"))).as("bucket"))
+        call_function("shiftright", col("sig"), col("band") * rows)
+          .bitwiseAND(lit((1L << rows) - 1)).as("bucket"))
     val kept = banded.join(
       banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_bsz"))
         .where(col("_bsz") <= maxBucketSize)
