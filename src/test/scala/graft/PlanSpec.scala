@@ -79,7 +79,8 @@ class PlanSpec extends SparkSpec {
   test("retention/eligibility joins carry no broadcast hint on an unbounded per-entity side") {
     // a forced broadcast of a per-entity aggregate OOMs at 10^8+ entities;
     // the plan must leave the strategy to AQE (hint-free logical plan)
-    for (q <- Seq("q_retention_14d", "q_eligibility", "q_ngram_jaccard_block")) {
+    for (q <- Seq("q_retention_14d", "q_eligibility", "q_ngram_jaccard_block",
+        "q_weekly_concepts", "q_sleepsd_windows")) {
       val lp = Queries.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint") && !lp.contains("UnresolvedHint"),
         s"$q must not force a broadcast:\n${lp.take(1500)}")
