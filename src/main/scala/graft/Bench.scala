@@ -116,7 +116,14 @@ object Bench {
       name -> sec
     }
 
-    // ---- headline: cascade throughput at full parallelism (JIT now warm) ----
+    // ---- headline: cascade throughput at full parallelism, in a FRESH
+    // session/JVM-state: the ~96 preceding query executions (48 plans ×
+    // min-of-2) leave the first session's heap/code-cache degraded enough
+    // to drag the cascade ~2.5× (measured: 7.5s there vs 2.9s isolated),
+    // which would misreport the engine. min-of-3 warms the new session's
+    // JIT before the reported number.
+    spark.stop()
+    spark = session(cpus)
     val cascadeSec = (1 to 3).map { _ => System.gc(); cascadeRun(spark, inputPath) }.min
     val throughput = nTurns / cascadeSec
     spark.stop()
