@@ -38,7 +38,7 @@ object Similarity {
     * Catalyst xxhash64 (seed 42, same type layout as the former column
     * expression), so signatures are bit-identical to the hash-per-element
     * form while the per-row work becomes pure multiply-add. */
-  private def planeComponent(p: Int, d: Int): Double = {
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = XxHash64(Seq(Literal("hp"), Literal(p), Literal(d)), 42L)
       .eval(null).asInstanceOf[Long]
@@ -54,7 +54,10 @@ object Similarity {
 
   /** `nPlanes`-bit random-hyperplane signature of an embedding: bit p =
     * sign(dot(plane_p, v)). Returned as array<int> of 0/1. `dims` must be
-    * the embedding length (trailing dims beyond the matrix are not used). */
+    * the embedding length (trailing dims beyond the matrix are not used).
+    * This HOF composition is the READABLE REFERENCE form; the production
+    * path (`lshTopK`) uses the native `RhpSigPacked`, whose bit-parity
+    * with this form is pinned by spec. */
   def rhpSignature(emb: Column, nPlanes: Int, dims: Int): Column = {
     val planes = planeMatrix(nPlanes, dims)
     transform(sequence(lit(0), lit(nPlanes - 1)), p => {

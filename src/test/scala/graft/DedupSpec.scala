@@ -180,6 +180,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("sim") - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
   }
 
+  test("packed RHP signature is bit-identical to the HOF reference form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val nPlanes = 24
+    val planes = Array.tabulate(nPlanes, dims)((p, d) => Similarity.planeComponent(p, d))
+    val rows = emb.select(
+      graft.plans.RhpSigPacked.rhpSigPacked($"embedding", planes).as("packed"),
+      Similarity.rhpSignature($"embedding", nPlanes, dims).as("bits")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val packed = r.getLong(0)
+      val bits = r.getSeq[Int](1)
+      (0 until nPlanes).foreach { p =>
+        assert(((packed >> p) & 1L).toInt == bits(p), s"plane $p differs")
+      }
+    }
+  }
+
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ann = Similarity.lshTopK(emb, $"vec_id", $"embedding", k = 5)
