@@ -71,18 +71,19 @@ object GapFill {
       .withColumn("is_gap", when(col("n_rows").isNull, lit(1)).otherwise(lit(0)))
   }
 
-  private def w(orderAsc: Boolean) = {
-    val base = Window.partitionBy(col("conv_id"))
-    val o = if (orderAsc) base.orderBy(col("bucket_start").asc)
-            else base.orderBy(col("bucket_start").desc)
-    o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-  }
+  private val wAsc = Window.partitionBy(col("conv_id")).orderBy(col("bucket_start").asc)
 
   /** Last-observation-carried-forward over the grid. */
-  def locf(c: Column): Column = last(c, ignoreNulls = true).over(w(orderAsc = true))
+  def locf(c: Column): Column = last(c, ignoreNulls = true)
+    .over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-  /** Next-observation-carried-backward (for interpolation endpoints). */
-  def nocb(c: Column): Column = last(c, ignoreNulls = true).over(w(orderAsc = false))
+  /** Next-observation-carried-backward (for interpolation endpoints):
+    * first non-null at-or-after the current row, expressed as a FOLLOWING
+    * frame over the SAME ascending order as locf — the earlier
+    * descending-order form made the plan sort every partition twice;
+    * sharing one (partition, order) spec keeps it to a single sort. */
+  def nocb(c: Column): Column = first(c, ignoreNulls = true)
+    .over(wAsc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
   /** Linear interpolation of `valueCol` across null runs on the dense grid.
     * Uses bucket epoch seconds as the x axis; endpoints (leading/trailing
