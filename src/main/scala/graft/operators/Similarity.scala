@@ -68,15 +68,6 @@ object Similarity {
     })
   }
 
-  /** Band keys over the signature (bands of `rowsPerBand` bits → one bucket
-    * hash per band). Vectors sharing any band bucket are ANN candidates. */
-  def rhpBandKeys(sig: Column, nPlanes: Int, bands: Int): Column = {
-    val rows = nPlanes / bands
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)).cast("array<string>"))).as("bucket")))
-  }
-
   /** LSH-bucketed ANN: top-k neighbours per query id, candidates limited to
     * shared RHP band buckets, verified by exact cosine. Output:
     * (vec_id, neighbour_id, sim, rank<=k).

@@ -58,16 +58,31 @@ case class RhpSigPacked(child: Expression, planes: Array[Array[Double]]) extends
 object RhpSigPacked {
 
   /** One primitive pass: all plane dots, packed sign bits. Public static —
-    * invoked from generated code. */
+    * invoked from generated code.
+    *
+    * Null-element parity with the HOF reference form: there, a null
+    * element nulls the zip_with product and thus EVERY plane's dot, and
+    * `when(dot >= 0, 1).otherwise(0)` turns the null predicate into bit 0
+    * for all planes — i.e. signature 0. Reproduced here by an explicit
+    * null scan (ArrayData.getDouble would silently read a null slot as
+    * 0.0 and diverge). */
   def compute(arr: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    val m = arr.numElements()
+    // length mismatch parity: zip_with null-pads the shorter side, nulling
+    // the dot for every plane → signature 0 in the HOF form
+    if (m != planes(0).length) return 0L
+    var j = 0
+    while (j < m) {
+      if (arr.isNullAt(j)) return 0L
+      j += 1
+    }
     var sig = 0L
     var p = 0
     while (p < planes.length) {
       val w = planes(p)
-      val n = math.min(arr.numElements(), w.length)
       var s = 0.0
       var i = 0
-      while (i < n) {
+      while (i < m) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         s += x * w(i)
         i += 1

@@ -214,13 +214,18 @@ object TextHashes {
     * (Scalars/TextFunctions): lowercase → trim(' ') → regex \s+ split with
     * Java semantics (a leading non-space whitespace yields a leading empty
     * token, same as Spark's and DuckDB's regexp split). */
+  // hoisted off the per-row path: UTF8String.split recompiles its regex
+  // (and re-materializes the pattern string) on every call
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val SpaceSep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
   def wordShingleHashesCompute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
     val trimmed = text.toLowerCase.trim()
     val toks: Array[UTF8String] =
       if (trimmed.numChars() == 0) Array.empty
-      else trimmed.split(UTF8String.fromString("\\s+"), -1)
-    val sep = UTF8String.fromString(" ")
+      else WsPattern.split(trimmed.toString, -1).map(UTF8String.fromString)
+    val sep = SpaceSep
     val hashes: Array[Long] =
       if (toks.length < n) Array(hashString(UTF8String.concatWs(sep, toks: _*)))
       else {

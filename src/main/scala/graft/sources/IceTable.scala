@@ -384,23 +384,41 @@ final class IceTable(val root: String) {
   def vacuum(keepFromId: Long): (Int, Int, Long) = {
     val curId = currentSnapshotId
     require(keepFromId <= curId, s"keepFromId $keepFromId is ahead of CURRENT $curId")
-    val keptIds = (keepFromId to curId).flatMap(id => snapshot(id).map(_ => id))
+    // capture idempotency keys FIRST: a crash between a keyed commit and
+    // its post-commit index write leaves the key only in the snapshot log,
+    // and deleting that JSON below would lose it — breaking exactly-once
+    // replay. syncKeyIndex persists every committed key before any delete.
+    syncKeyIndex()
+    // memoized snapshot reads: the existence pass, the delta-rebase chain
+    // walks, and the referenced-set resolution otherwise re-read the same
+    // small JSONs many times — each a metadata RPC on object storage
+    val cache = scala.collection.mutable.Map.empty[Long, Option[Snapshot]]
+    def snap(id: Long): Option[Snapshot] = cache.getOrElseUpdate(id, snapshot(id))
+    def resolved(s: Snapshot): Seq[FileEntry] =
+      if (!s.delta) s.files
+      else snap(s.parentId).map(p => resolved(p) ++ s.files).getOrElse(throw new IllegalStateException(
+        s"delta snapshot ${s.id} references missing parent ${s.parentId} in $root"))
+    val keptIds = (keepFromId to curId).flatMap(id => snap(id).map(_ => id))
     // rebase kept deltas whose parent chain crosses the horizon BEFORE
     // deleting (ids can skip after crashed commits, so walk the chain
     // rather than arithmetic on chainLen — bounded at BaseEvery reads)
     keptIds.foreach { id =>
-      val s = snapshot(id).get
+      val s = snap(id).get
       if (s.delta) {
         var cur = s
         var crosses = false
         while (cur.delta && !crosses) {
           if (cur.parentId < keepFromId) crosses = true
-          else cur = snapshot(cur.parentId).get
+          else cur = snap(cur.parentId).get
         }
-        if (crosses) writeSnapshotJson(s.copy(files = liveFiles(s), delta = false, chainLen = 0))
+        if (crosses) {
+          val rebased = s.copy(files = resolved(s), delta = false, chainLen = 0)
+          writeSnapshotJson(rebased)
+          cache(id) = Some(rebased)
+        }
       }
     }
-    val referenced = keptIds.flatMap(id => liveFiles(id)).map(f => new Path(f.path)).toSet
+    val referenced = keptIds.flatMap(id => resolved(snap(id).get)).map(f => new Path(f.path)).toSet
     // delete unreferenced data files (+ any crashed-commit temp dirs)
     var filesDeleted = 0
     var bytesFreed = 0L
@@ -422,13 +440,17 @@ final class IceTable(val root: String) {
         }
       }
     }
-    // drop pre-horizon snapshot JSONs
+    // drop pre-horizon snapshot JSONs, plus ORPHANS above CURRENT (a
+    // crashed commit that wrote its JSON but never moved CURRENT): their
+    // data files are unreferenced and were just swept, so keeping the JSON
+    // would leave a snapshot scanAt() accepts but cannot read. Safe under
+    // the single-writer contract (no commit is in flight during vacuum).
     var snapsDeleted = 0
     if (fs.exists(snapDir)) {
       fs.listStatus(snapDir).foreach { f =>
         val n = f.getPath.getName
         scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption.foreach { id =>
-          if (n.startsWith("v") && n.endsWith(".json") && id < keepFromId) {
+          if (n.startsWith("v") && n.endsWith(".json") && (id < keepFromId || id > curId)) {
             snapsDeleted += 1
             fs.delete(f.getPath, false): Unit
           }

@@ -196,6 +196,16 @@ class DedupSpec extends SparkSpec {
         assert(((packed >> p) & 1L).toInt == bits(p), s"plane $p differs")
       }
     }
+    // degenerate inputs keep parity too: a null element (HOF nulls every
+    // dot → all bits 0) and a length-mismatched vector (zip_with null-pads)
+    val weird = spark.range(1).select(
+      expr("array(cast(1.0 as float), cast(null as float))").as("e2"),
+      expr("array(cast(1.0 as float))").as("eShort"))
+    val w = weird.select(
+      graft.plans.RhpSigPacked.rhpSigPacked($"e2", planes.map(_.take(2))),
+      graft.plans.RhpSigPacked.rhpSigPacked($"eShort", planes)).head()
+    assert(w.getLong(0) == 0L, "null element must zero the signature (HOF parity)")
+    assert(w.getLong(1) == 0L, "length mismatch must zero the signature (HOF parity)")
   }
 
   test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {

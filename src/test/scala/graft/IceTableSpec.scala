@@ -177,6 +177,27 @@ class IceTableSpec extends SparkSpec {
     assert(t.vacuum(keepFromId = compactId) == ((0, 0, 0L)))
   }
 
+  test("vacuum preserves idempotency keys of vacuumed snapshots and sweeps orphan JSONs") {
+    val t = IceTable(tmp("ice"))
+    val half1 = turnsDf.where($"turn_idx" % 2 === 0)
+    val half2 = turnsDf.where($"turn_idx" % 2 === 1)
+    val id0 = t.append(half1, "ts", key = Some("ck#e0"))
+    val id1 = t.append(half2, "ts", key = Some("ck#e1"))
+    // crash-window simulation: the post-commit index write never happened
+    assert(new java.io.File(s"${t.root}/keys.json").delete())
+    // orphan from a crashed commit: JSON written, CURRENT never moved
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"${t.root}/snapshots/v00009.json"),
+      s"""{"id":9,"parent_id":$id1,"op":"append","delta":false,"chain_len":0,"files":[]}""".getBytes)
+    val id2 = t.rewriteCompact(spark, "ts")
+    t.vacuum(keepFromId = id2) // deletes the keyed snapshots' JSONs + the orphan
+    assert(t.snapshot(id0).isEmpty && t.snapshot(9L).isEmpty)
+    // replay of the vacuumed epochs must STILL be a no-op: vacuum synced
+    // the key index from the log BEFORE deleting the JSONs
+    assert(t.append(half1, "ts", key = Some("ck#e0")) == id0)
+    assert(t.appendIdForKey("ck#e1").contains(id1))
+    assert(t.currentSnapshotId == id2)
+  }
+
   test("vacuum rebases a kept delta whose chain crosses the horizon") {
     val t = IceTable(tmp("ice"))
     val thirds = (0 until 3).map(k => turnsDf.where($"turn_idx" % 3 === k))
