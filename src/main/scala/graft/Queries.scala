@@ -956,6 +956,50 @@ object Queries {
            |WINDOW w3 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
            |       w26 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""".stripMargin))),
 
+    // P4 any-non-empty-string row filter (daily-measures.R:113,132,169):
+    // rows survive iff ANY of the candidate columns is a non-NULL,
+    // non-empty string — here two conditionally-masked derivations, so the
+    // filter actually drops rows (~55%) rather than passing everything.
+    "q_any_nonempty" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("a", when(col("n_chars") >= 500, col("text")).otherwise(lit("")))
+          .withColumn("b", when(col("lang") === "en", col("lang")).otherwise(lit("")))
+        d.where(Scalars.anyNonEmpty(Seq(col("a"), col("b"))))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT source, n_chars,
+          |    CASE WHEN n_chars >= 500 THEN text ELSE '' END AS a,
+          |    CASE WHEN lang = 'en' THEN lang ELSE '' END AS b
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+          |FROM d
+          |WHERE (a IS NOT NULL AND a <> '') OR (b IS NOT NULL AND b <> '')
+          |GROUP BY 1""".stripMargin))),
+
+    // P8 conditional masking (daily-measures.R:64-65): a value column is
+    // masked to NULL unless its flag holds, then aggregated NA-skipping —
+    // the masked rows must vanish from mean AND count but not from n_rows.
+    "q_masked_mean" -> ((
+      (s: SparkSession, dir: String) => {
+        val masked = Scalars.maskUnless(col("value"), col("event_type") === "purchase")
+        events(s, dir)
+          .groupBy(col("user_id").as("conv_id"))
+          .agg(
+            round(avg(masked), 6).as("purchase_mean"),
+            count(masked).as("n_purchases"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(
+        """SELECT user_id AS conv_id,
+          |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_mean,
+          |  count(CASE WHEN event_type = 'purchase' THEN value END) AS n_purchases,
+          |  count(*) AS n_rows
+          |FROM events GROUP BY 1""".stripMargin))),
+
     // S2 pattern-based dataset discovery: list the storage root once,
     // select datasets by name regex (str_subset analog), open and union
     // them (fetch-data.R:45-56 + daily-measures.R:5).
