@@ -743,6 +743,31 @@ object Queries {
         """SELECT user_id AS conv_id, count(*) AS n_rows, round(sum(value), 6) AS sum_v
           |FROM events GROUP BY 1""".stripMargin))),
 
+    // S4/S3 CSV sink + scan round-trip (reference write_csv egress +
+    // stringly-typed CSV re-ingest with cast-on-read): events projected to
+    // CSV, read back with inferred-string columns recast, aggregated —
+    // must equal the same aggregate straight off parquet (doubles survive
+    // text round-trips bit-exactly via shortest-roundtrip rendering).
+    "q_csv_roundtrip" -> ((
+      (s: SparkSession, dir: String) => {
+        val out = java.nio.file.Files.createTempDirectory("csv-rt").toString
+        events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", true).csv(out)
+        s.read.option("header", true).csv(out)
+          .select(col("user_id").cast("long").as("conv_id"),
+            col("event_type"), col("value").cast("double").as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("conv_id")).as("n_users"),
+            round(sum(col("v")), 6).as("sum_v"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_rows,
+          |  count(DISTINCT user_id) AS n_users,
+          |  round(sum(value), 6) AS sum_v
+          |FROM events GROUP BY 1""".stripMargin))),
+
     // A11: anchor = min over TWO date columns (reference infection anchor,
     // sleepSD.R:9-13 min(least(d1, d2))) — per customer, over each order's
     // date and its items' ship dates.
