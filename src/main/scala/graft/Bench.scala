@@ -100,29 +100,46 @@ object Bench {
     // regressions between rounds); the min of two runs reports engine
     // capability. A failed query must read as a FAILURE (-1), never as a
     // fast timing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val sec =
-        try math.min(once(), once())
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            -1.0
+    //
+    // Session recycled every 10 queries: ~100 executions in one JVM degrade
+    // its heap/code-cache enough to drag later (alphabetically) queries
+    // 2.5-3.5× vs a fresh-session probe of the same unchanged plan (r03
+    // driver data: q_sri_grid 0.28→1.00s with zero code change) — which
+    // fabricated cross-round regressions. Session start is outside the
+    // timed region.
+    //
+    // Action = noop-format write, not count(): count() lets Catalyst prune
+    // every non-grouping column, so wide results (q_gapfill_*, 105k rows ×
+    // all columns) were timed cheaper than the Verify path pays. The noop
+    // sink materializes every projected column and discards rows.
+    spark.stop()
+    val batchSize = 10
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).grouped(batchSize).flatMap { batch =>
+      val s = session(cpus)
+      val timed = batch.map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(s, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
         }
-      name -> sec
-    }
+        val sec =
+          try math.min(once(), once())
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              -1.0
+          }
+        name -> sec
+      }
+      s.stop()
+      timed
+    }.toSeq
 
     // ---- headline: cascade throughput at full parallelism, in a FRESH
-    // session/JVM-state: the ~96 preceding query executions (48 plans ×
-    // min-of-2) leave the first session's heap/code-cache degraded enough
-    // to drag the cascade ~2.5× (measured: 7.5s there vs 2.9s isolated),
-    // which would misreport the engine. min-of-3 warms the new session's
-    // JIT before the reported number.
-    spark.stop()
+    // session/JVM-state: the ~100 preceding query executions leave JVM
+    // heap/code-cache degraded enough to drag the cascade ~2.5× (measured:
+    // 7.5s there vs 2.9s isolated), which would misreport the engine.
+    // min-of-3 warms the new session's JIT before the reported number.
     spark = session(cpus)
     val cascadeSec = (1 to 3).map { _ => System.gc(); cascadeRun(spark, inputPath) }.min
     val throughput = nTurns / cascadeSec
@@ -155,7 +172,15 @@ object Bench {
     if (srcTable.currentSnapshotId == 0L) {
       srcTable.append(TranscriptGen.withMeasures(spark.read.parquet(inputPath)).sort("ts"), "ts")
     }
-    val storeRoot = Files.createTempDirectory("graft-bench-store").toString
+    // fixed path, wiped before the timed build (createTempDirectory leaked
+    // a full tier store per round); the build must start from empty
+    val storeRoot = s"/tmp/graft_bench_store_$benchConvs"
+    val rootPath = Paths.get(storeRoot)
+    if (Files.exists(rootPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
     val tStore = System.nanoTime()
     graft.operators.TierStore.sync(spark, srcTable, storeRoot, col("text_len"), parallelism = 8)
     val storeSec = (System.nanoTime() - tStore) / 1e9
@@ -169,6 +194,7 @@ object Bench {
       s""","queries":$qs,"sf":"$sfDir","turns":$nTurns,"cascade_cores":$cpus,"cascade_sec":${f"$cascadeSec%.3f"}""" +
       s""","gorilla_bytes_per_point":${f"$bytesPerPoint%.3f"}""" +
       s""","tier_store_build_turns_per_sec":${f"$storeThroughput%.0f"},"tier_store_build_sec":${f"$storeSec%.3f"}""" +
-      s""","scaling":{"cores_low":$nLow,"throughput_low":${f"$thrLow%.0f"},"cores_high":$nHigh,"throughput_high":${f"$thrHigh%.0f"},"efficiency":${f"$efficiency%.3f"}}}""")
+      s""","scaling":{"cores_low":$nLow,"throughput_low":${f"$thrLow%.0f"},"cores_high":$nHigh,"throughput_high":${f"$thrHigh%.0f"},"efficiency":${f"$efficiency%.3f"}}""" +
+      s""","methodology":{"per_query":"min_of_2; fresh session per 10 queries; noop-sink action (all columns materialized)","headline":"min_of_3 in fresh session","scaling":"3 interleaved passes per level, min-of-3 cascade each"}}""")
   }
 }

@@ -750,7 +750,10 @@ object Queries {
     // text round-trips bit-exactly via shortest-roundtrip rendering).
     "q_csv_roundtrip" -> ((
       (s: SparkSession, dir: String) => {
-        val out = java.nio.file.Files.createTempDirectory("csv-rt").toString
+        // fixed per-sf path + overwrite (matches the /tmp/graft_bench_*
+        // caching convention) — createTempDirectory leaked a full CSV copy
+        // of events per invocation across Bench×2 + Verify runs
+        val out = s"/tmp/graft_csv_rt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
         events(s, dir)
           .select(col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").option("header", true).csv(out)
@@ -971,12 +974,12 @@ object Queries {
            |  SELECT user_id AS conv_id,
            |    epoch(date_trunc('day', ts)) // 86400 AS day_idx,
            |    round(sqrt(-2.0 * ln(least(sqrt(avg(sin(2*pi()*$todHoursDuck/24.0))^2
-           |      + avg(cos(2*pi()*$todHoursDuck/24.0))^2), 1.0))) * 24.0 / (2*pi()), 6) AS circ_sd
+           |      + avg(cos(2*pi()*$todHoursDuck/24.0))^2), 1.0))) * 24.0 / (2*pi()), 6) + 0.0 AS circ_sd
            |  FROM r GROUP BY 1, 2)
            |SELECT conv_id, day_idx, circ_sd,
-           |  CASE WHEN count(*) OVER w3 = 3 THEN round(avg(circ_sd) OVER w3, 6) END AS sd3_mean,
-           |  CASE WHEN count(*) OVER w3 = 3 THEN round(stddev_samp(circ_sd) OVER w3, 6) END AS sd3_sd,
-           |  CASE WHEN count(*) OVER w26 = 26 THEN round(avg(circ_sd) OVER w26, 6) END AS sd26_mean
+           |  CASE WHEN count(*) OVER w3 = 3 THEN round(avg(circ_sd) OVER w3, 6) + 0.0 END AS sd3_mean,
+           |  CASE WHEN count(*) OVER w3 = 3 THEN round(stddev_samp(circ_sd) OVER w3, 6) + 0.0 END AS sd3_sd,
+           |  CASE WHEN count(*) OVER w26 = 26 THEN round(avg(circ_sd) OVER w26, 6) + 0.0 END AS sd26_mean
            |FROM d
            |WINDOW w3 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
            |       w26 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""".stripMargin))),
@@ -1238,10 +1241,18 @@ object Queries {
         Dedup.simhashPairs(wide(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 16),
       None)),
 
-    // LSH-bucketed ANN top-5 per vector (rows-only; recall in SimilaritySpec).
+    // LSH-bucketed ANN top-5 per vector (rows-only; recall in DedupSpec).
     "q_ann_lsh" -> ((
       (s: SparkSession, dir: String) =>
         Similarity.lshTopK(wide(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 5),
+      None)),
+
+    // IVF coarse-quantizer ANN top-5 — the scale path whose candidate
+    // volume is bounded by list sizes (n·nProbe/nLists), not bucket luck
+    // (rows-only; recall + candidate bound in DedupSpec).
+    "q_ann_ivf" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfTopK(wide(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 5),
       None)))
 
   val catalog: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =

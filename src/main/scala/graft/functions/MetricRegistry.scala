@@ -49,7 +49,10 @@ object MetricRegistry {
     "circular_sd" -> { c =>
       val (s, co) = circ(c)
       val r = least(sqrt(s * s + co * co), lit(1.0))
-      sqrt(lit(-2.0) * log(r)) * lit(Rollup24 / (2 * math.Pi))
+      // + 0.0 normalizes IEEE −0.0 → +0.0: at R=1 (single-event groups)
+      // sqrt(−2·ln 1) = sqrt(−0.0) = −0.0, whose sign bit survives DuckDB's
+      // round() but not Spark's — a bitwise-hash divergence, not a math one.
+      sqrt(lit(-2.0) * log(r)) * lit(Rollup24 / (2 * math.Pi)) + lit(0.0)
     })
 
   /** Reject unknown metric names (reference parity: calcMetrics.R:46-55). */

@@ -185,18 +185,25 @@ object CheckpointedRollup {
         failAfter.foreach(k =>
           if (done.get() >= k) throw new RuntimeException(s"injected failure after $k units"))
         val t0 = System.nanoTime()
-        // row count observed ON the write action itself — re-reading the
-        // freshly written day dir to count would double each day's read I/O
-        val obs = org.apache.spark.sql.Observation(s"graft-day-$dayUs-${System.nanoTime()}")
         val tier = transform(source.scanDay(spark, dayUs))
-          .observe(obs, count(lit(1)).as("rows"))
         val dayDir = new Path(outDir, s"day=$dayUs")
         val tmpDir = new Path(outDir, s".day-$dayUs.tmp")
         tier.write.mode("overwrite").parquet(tmpDir.toString)
         if (fs.exists(dayDir)) fs.delete(dayDir, true)
         if (!fs.rename(tmpDir, dayDir))
           throw new IllegalStateException(s"checkpoint commit: rename $tmpDir -> $dayDir failed")
-        val rows = obs.get("rows").asInstanceOf[Long]
+        // row count from the COMMITTED files' parquet footers: metadata-only
+        // (no data re-read), and — unlike an Observation on the write action
+        // — exact under task retries/speculation, where each successful
+        // attempt's partial scan would inflate observed metrics. The marker
+        // rows value chains into dayFingerprint, so it must be durable-exact.
+        val rows = fs.listStatus(dayDir).iterator
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+            try r.getRecordCount finally r.close()
+          }.sum
         val bytes = fs.getContentSummary(dayDir).getLength
         val node = mapper.createObjectNode()
         node.put("source_snapshot_id", snapId)

@@ -188,7 +188,9 @@ object Rollup {
   def circularSdFromSums(sumSin: Column, sumCos: Column, n: Column): Column = {
     val r = sqrt(sumSin * sumSin + sumCos * sumCos) / n
     val rClamped = least(r, lit(1.0)) // FP noise can push R just above 1
-    when(n > 0, sqrt(lit(-2.0) * log(rClamped)) * lit(CircularPeriodHours / (2.0 * math.Pi)))
+    // + 0.0: at R=1 sqrt(−2·ln 1) = −0.0; normalize to +0.0 so bitwise
+    // comparisons (the driver hashes raw bits) see one canonical zero.
+    when(n > 0, sqrt(lit(-2.0) * log(rClamped)) * lit(CircularPeriodHours / (2.0 * math.Pi)) + lit(0.0))
   }
 
   /** Typed surface: Dataset[Turn] → Dataset[TierRow] per tier (the

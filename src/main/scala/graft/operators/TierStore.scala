@@ -69,23 +69,31 @@ object TierStore {
     val spanDays =
       if (files.isEmpty) 1
       else ((files.map(_.maxTsUs).max - files.map(_.minTsUs).min) / day + 1).toInt
-    val slices = math.max(spanDays, spark.sessionState.conf.numShufflePartitions)
+    // PER-TIER slice sizing: each level carries ~60× (1m→1h) then ~24×
+    // (1h→1d) fewer rows, so one global slice count over-slices the coarse
+    // tiers — a multi-year table would write thousands of tiny 1d files.
+    // Fine tier keeps day slices (its expiry granularity); 1h targets
+    // ~weekly files, 1d ~monthly — matching each tier's TTL ladder so
+    // expiry still drops whole files.
+    val slices1m = math.max(spanDays, spark.sessionState.conf.numShufflePartitions)
+    val slices1h = math.max(spanDays / 7, 1)
+    val slices1d = math.max(spanDays / 30, 1)
 
     val t1m = IceTable(s"$root/1m")
     t1m.append(
       timeClustered(
         Rollup.rollupRawWithGorilla(withVal, col("conv_id"), col("ts"), col("_v"), "1 minute"),
-        slices),
+        slices1m),
       "bucket_start")
 
     val t1h = IceTable(s"$root/1h")
     t1h.append(
-      timeClustered(Rollup.rollupTierWithGorilla(t1m.scan(spark), "1 hour"), slices),
+      timeClustered(Rollup.rollupTierWithGorilla(t1m.scan(spark), "1 hour"), slices1h),
       "bucket_start")
 
     val t1d = IceTable(s"$root/1d")
     t1d.append(
-      timeClustered(Rollup.rollupTierWithGorilla(t1h.scan(spark), "1 day"), slices),
+      timeClustered(Rollup.rollupTierWithGorilla(t1h.scan(spark), "1 day"), slices1d),
       "bucket_start")
 
     TierTables(t1m, t1h, t1d)
@@ -157,9 +165,12 @@ object TierStore {
     * (IceTable.vacuum). Run OUT OF BAND after applyRetention — expiry stays
     * a cheap metadata action on the write path; byte reclamation is a
     * janitor job, exactly like Iceberg's expire_snapshots maintenance.
+    * Concurrent-writer safe: unreferenced files younger than `minAgeMs`
+    * are spared (an in-flight append's staged data — see IceTable.vacuum);
+    * pass 0 only when the ladder is known quiesced.
     * Returns per-tier (snapshots, files, bytes) freed. */
-  def vacuumRetention(tiers: TierTables): Seq[(Int, Int, Long)] =
+  def vacuumRetention(tiers: TierTables, minAgeMs: Long = 3600 * 1000L): Seq[(Int, Int, Long)] =
     Seq(tiers.t1m, tiers.t1h, tiers.t1d).map { t =>
-      t.vacuum(keepFromId = t.currentSnapshotId)
+      t.vacuum(keepFromId = t.currentSnapshotId, minAgeMs = minAgeMs)
     }
 }

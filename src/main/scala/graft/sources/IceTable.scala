@@ -42,27 +42,43 @@ import org.apache.spark.sql.functions._
   * idempotency lookups O(1) amortized instead of an O(snapshots) chain
   * walk per streaming epoch (see `syncKeyIndex`).
   *
-  * Layout: root/data/snap-<id>/part-*.parquet, root/snapshots/v<id>.json,
+  * Layout: root/data/d-<uuid>/part-*.parquet, root/snapshots/v<id>.json,
   * root/keys.json (idempotency index), root/CURRENT (text file with latest
-  * id; updated via atomic rename). Provenance parity: the reference records
-  * executed=/used= lineage on every egress
+  * id; a derived convenience pointer — see commit protocol). Provenance
+  * parity: the reference records executed=/used= lineage on every egress
   * (/root/reference/scripts/daily-measures.R:242-251) — here it is the
   * snapshot log itself.
   *
-  * Commit protocol (crash-safe, single-writer):
-  *   - data is written to a hidden temp dir and RENAMED into
-  *     data/snap-<id> before any metadata references it;
-  *   - the snapshot JSON is written next; the commit point is the atomic
-  *     overwrite-rename of CURRENT — a crash at any earlier step leaves
-  *     only invisible orphans, and `nextId` (max over CURRENT, snapshot
-  *     files, and data dirs) guarantees a retry never collides with them;
-  *   - the key index is written strictly AFTER the CURRENT commit, so it
-  *     can only ever be STALE, never ahead — `syncKeyIndex` heals staleness
-  *     by walking just the (indexed, CURRENT] gap;
+  * Commit protocol (crash-safe, multi-writer CAS — the Iceberg
+  * CAS-on-metadata-pointer idea, done as claim-by-exclusive-create):
+  *   - data is written to a hidden temp dir and RENAMED into a
+  *     UUID-named data/d-<uuid> before any metadata references it, so
+  *     concurrent writers can never collide on a data path;
+  *   - the COMMIT POINT is the rename-WITHOUT-overwrite of the fully
+  *     written snapshot JSON into snapshots/v<id>.json with
+  *     id = currentSnapshotId + 1: if another writer claimed that id
+  *     first, the rename fails and the loser re-reads the (new) parent
+  *     and retries with a fresh id — both appends land, linearized;
+  *   - CURRENT is advanced AFTER the claim and is only a hint:
+  *     `currentSnapshotId` takes max(CURRENT, highest v*.json), so a crash
+  *     (or a racing slow writer) that leaves CURRENT behind heals on the
+  *     next read. A crash before the claim leaves only an unreferenced
+  *     data/d-<uuid> dir, reclaimed by `vacuum` after its grace window;
+  *   - atomicity of the claim is the storage layer's no-overwrite rename:
+  *     server-side atomic on HDFS; POSIX check-then-rename on local FS
+  *     (an in-JVM lock covers same-process writers there; cross-process
+  *     local writers keep the single-writer contract); object stores need
+  *     a conditional-put committer;
+  *   - the key index is written strictly AFTER the claim, so it can only
+  *     ever be STALE, never ahead — `syncKeyIndex` heals staleness by
+  *     walking just the (indexed, CURRENT] gap;
   *   - appends may carry an idempotency `key` (recorded in the snapshot):
   *     re-appending a committed key is a no-op returning the original id —
   *     this is what makes at-least-once streaming foreachBatch replays
   *     exactly-once (StreamTier keys each micro-batch by its epoch).
+  *     CONCURRENT writers racing the SAME key can both commit (the key
+  *     check precedes the claim); last-committed wins the index — keyed
+  *     idempotency assumes one writer per key stream, as in streaming.
   *
   * All I/O goes through the Hadoop FileSystem API, so the table works on
   * any Hadoop-supported storage (local file://, HDFS, object stores with a
@@ -123,8 +139,21 @@ final class IceTable(val root: String) {
     fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
-  def currentSnapshotId: Long =
-    if (fs.exists(currentFile)) readFully(currentFile).trim.toLong else 0L
+  /** Highest committed snapshot id: max of the CURRENT hint and the
+    * highest claimed v*.json (one metadata listing). The listing is what
+    * makes a claim durable even if the claimer crashed before advancing
+    * CURRENT — the pointer is a cache, the JSON claim is the truth. */
+  def currentSnapshotId: Long = {
+    val hint = if (fs.exists(currentFile)) readFully(currentFile).trim.toLong else 0L
+    math.max(hint, maxIdIn(snapDir, "v", ".json"))
+  }
+
+  private def maxIdIn(dir: Path, prefix: String, suffix: String): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).stripSuffix(suffix).toLong).toOption)
+      .foldLeft(0L)(math.max)
 
   def snapshot(id: Long): Option[Snapshot] = {
     val p = new Path(snapDir, f"v$id%05d.json")
@@ -170,23 +199,9 @@ final class IceTable(val root: String) {
   /** Resolved live file set of the current snapshot (empty for a fresh table). */
   def currentLiveFiles: Seq[FileEntry] = current.map(liveFiles).getOrElse(Nil)
 
-  /** Next free snapshot id: above CURRENT and above any orphan snapshot
-    * file or data dir left by a crashed commit (retries never collide).
-    * One directory listing per commit — metadata-scale. */
-  private def nextId: Long = {
-    def maxId(dir: Path, prefix: String, suffix: String): Long =
-      if (!fs.exists(dir)) 0L
-      else fs.listStatus(dir).iterator.map(_.getPath.getName)
-        .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
-        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).stripSuffix(suffix).toLong).toOption)
-        .foldLeft(0L)(math.max)
-    math.max(currentSnapshotId, math.max(maxId(snapDir, "v", ".json"), maxId(dataDir, "snap-", ""))) + 1
-  }
-
   /** Write/overwrite a snapshot JSON WITHOUT moving CURRENT (also used by
     * vacuum's in-place manifest rebase). */
-  private def writeSnapshotJson(s: Snapshot): Unit = {
-    fs.mkdirs(snapDir)
+  private def snapshotJsonString(s: Snapshot): String = {
     val node: ObjectNode = mapper.createObjectNode()
     node.put("id", s.id)
     node.put("parent_id", s.parentId)
@@ -200,15 +215,60 @@ final class IceTable(val root: String) {
       fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
       fn.put("min_ts_us", f.minTsUs); fn.put("max_ts_us", f.maxTsUs)
     }
-    atomicWrite(new Path(snapDir, f"v${s.id}%05d.json"),
-      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+    mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node)
   }
 
-  private def writeSnapshot(s: Snapshot): Unit = {
-    writeSnapshotJson(s)
-    // commit point: atomic overwrite-rename of CURRENT
-    atomicWrite(currentFile, s.id.toString)
+  private def writeSnapshotJson(s: Snapshot): Unit = {
+    fs.mkdirs(snapDir)
+    atomicWrite(new Path(snapDir, f"v${s.id}%05d.json"), snapshotJsonString(s))
   }
+
+  /** COMMIT POINT: claim snapshots/v<id>.json by rename-WITHOUT-overwrite
+    * of a fully written temp file. Returns false (and cleans the temp) if
+    * another writer holds the id. The no-overwrite rename is server-side
+    * atomic on HDFS; on local FS it is check-then-rename, which the in-JVM
+    * `commitLock` makes safe for same-process writers. */
+  private def tryClaimSnapshot(s: Snapshot): Boolean = {
+    fs.mkdirs(snapDir)
+    val dst = new Path(snapDir, f"v${s.id}%05d.json")
+    val tmp = new Path(snapDir, s".${dst.getName}.claim-${java.util.UUID.randomUUID()}")
+    val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
+    try out.write(snapshotJsonString(s)) finally out.close()
+    val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
+    try { fc.rename(tmp, dst); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException
+           | _: java.nio.file.FileAlreadyExistsException
+           | _: java.io.IOException =>
+        // claim lost (or storage refused) — if dst now exists someone else
+        // committed this id; surface anything else as a real failure
+        fs.delete(tmp, false): Unit
+        if (fs.exists(dst)) false
+        else throw new IllegalStateException(s"IceTable claim of $dst failed without a competing snapshot")
+    }
+  }
+
+  /** Linearized commit: build the snapshot against the CURRENT parent,
+    * claim parent.id + 1; on a lost claim re-read the parent (which now
+    * includes the winner) and rebuild. `build` must therefore be a pure
+    * function of (parent, id). Advances the CURRENT hint on success. */
+  private def claimCommit(build: (Option[Snapshot], Long) => Snapshot): Snapshot =
+    IceTable.lockFor(root).synchronized {
+      var attempts = 0
+      var committed: Option[Snapshot] = None
+      while (committed.isEmpty) {
+        attempts += 1
+        require(attempts <= 1000, s"IceTable commit on $root: 1000 lost claims — livelock?")
+        val parent = current
+        val snap = build(parent, parent.map(_.id).getOrElse(0L) + 1)
+        if (tryClaimSnapshot(snap)) committed = Some(snap)
+      }
+      val s = committed.get
+      // CURRENT is a hint: never move it backwards over a faster writer
+      if (s.id > (if (fs.exists(currentFile)) scala.util.Try(readFully(currentFile).trim.toLong).getOrElse(0L) else 0L))
+        atomicWrite(currentFile, s.id.toString)
+      s
+    }
 
   /** Per-file (rows, min ts, max ts, bytes) stats of a committed data dir. */
   private def statsOf(spark: SparkSession, dir: Path, tsCol: String): Seq[FileEntry] = {
@@ -225,15 +285,16 @@ final class IceTable(val root: String) {
     }.toSeq
   }
 
-  /** Write df's files and move them into data/snap-<id>; returns (id, dir). */
-  private def commitDataDir(df: DataFrame): (Long, Path) = {
+  /** Write df's files and move them into a UUID-named data dir (no id yet:
+    * ids are assigned at claim time, and UUID dirs mean concurrent writers
+    * never collide on a data path). Returns the committed dir. */
+  private def stageDataDir(df: DataFrame): Path = {
     val tmp = new Path(dataDir, s".tmp-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    val id = nextId
-    val dir = new Path(dataDir, f"snap-$id%05d")
+    val dir = new Path(dataDir, s"d-${java.util.UUID.randomUUID()}")
     if (!fs.rename(tmp, dir))
       throw new IllegalStateException(s"IceTable commit: rename $tmp -> $dir failed")
-    (id, dir)
+    dir
   }
 
   // ------------------------------------------------------ idempotency index
@@ -294,20 +355,20 @@ final class IceTable(val root: String) {
     * live set so reads stay bounded. */
   def append(df: DataFrame, tsCol: String, key: Option[String] = None): Long =
     key.flatMap(appendIdForKey).getOrElse {
-      val parent = current
-      val parentId = parent.map(_.id).getOrElse(0L)
-      val (id, dir) = commitDataDir(df)
+      // stage data ONCE (the expensive part); the claim loop below only
+      // rebuilds cheap manifest metadata if a concurrent writer wins an id
+      val dir = stageDataDir(df)
       val entries = statsOf(df.sparkSession, dir, tsCol)
-      val newChainLen = parent.map(_.chainLen + 1).getOrElse(1)
-      val snap =
+      val snap = claimCommit { (parent, id) =>
+        val newChainLen = parent.map(_.chainLen + 1).getOrElse(1)
         if (parent.isEmpty || newChainLen >= BaseEvery)
-          Snapshot(id, parentId, "append", parent.map(liveFiles).getOrElse(Nil) ++ entries,
-            key, delta = false, chainLen = 0)
+          Snapshot(id, parent.map(_.id).getOrElse(0L), "append",
+            parent.map(liveFiles).getOrElse(Nil) ++ entries, key, delta = false, chainLen = 0)
         else
-          Snapshot(id, parentId, "append", entries, key, delta = true, chainLen = newChainLen)
-      writeSnapshot(snap)
+          Snapshot(id, parent.get.id, "append", entries, key, delta = true, chainLen = newChainLen)
+      }
       syncKeyIndex() // post-commit; stale-only on crash, healed next lookup
-      id
+      snap.id
     }
 
   /** Scan the current snapshot, optionally pruned to files overlapping
@@ -337,13 +398,13 @@ final class IceTable(val root: String) {
     * boundaries in practice so straddlers are rare. Expiry changes the set
     * non-monotonically, so it always writes a BASE manifest (and thereby
     * compacts any delta chain above it). Returns new snapshot id. */
-  def expireOlderThan(cutoffUs: Long): Long = {
-    val parent = currentSnapshotId
-    val kept = currentLiveFiles.filter(_.maxTsUs >= cutoffUs)
-    val id = nextId
-    writeSnapshot(Snapshot(id, parent, "expire", kept))
-    id
-  }
+  def expireOlderThan(cutoffUs: Long): Long =
+    claimCommit { (parent, id) =>
+      // kept set re-derived per claim attempt: a concurrent append between
+      // attempts is thereby included, never silently dropped
+      val kept = parent.map(liveFiles).getOrElse(Nil).filter(_.maxTsUs >= cutoffUs)
+      Snapshot(id, parent.map(_.id).getOrElse(0L), "expire", kept)
+    }.id
 
   /** Compaction rewrite: coalesce the current file set into ~`targetFiles`
     * new data files and commit as an op="rewrite" snapshot (Iceberg
@@ -352,11 +413,21 @@ final class IceTable(val root: String) {
     * `expireOlderThan`-style manifest pruning governs logical visibility.
     * Rows and their `tsCol` stats are preserved exactly. */
   def rewriteCompact(spark: SparkSession, tsCol: String, targetFiles: Int = 1): Long = {
-    val parent = currentSnapshotId
+    // a rewrite's manifest is exactly the data it compacted, so unlike
+    // append/expire it CANNOT absorb a concurrent commit by rebuilding
+    // metadata — if the parent moved while we compacted, committing would
+    // silently drop the racer's files. Detect and refuse instead.
+    val parentAtScan = currentSnapshotId
     val df = scan(spark).coalesce(math.max(targetFiles, 1))
-    val (id, dir) = commitDataDir(df)
-    writeSnapshot(Snapshot(id, parent, "rewrite", statsOf(spark, dir, tsCol)))
-    id
+    val dir = stageDataDir(df)
+    val entries = statsOf(spark, dir, tsCol)
+    claimCommit { (parent, id) =>
+      val pid = parent.map(_.id).getOrElse(0L)
+      if (pid != parentAtScan)
+        throw new java.util.ConcurrentModificationException(
+          s"rewriteCompact on $root: snapshot moved $parentAtScan -> $pid during compaction; re-run")
+      Snapshot(id, pid, "rewrite", entries)
+    }.id
   }
 
   /** Total (rows, bytes) in the current snapshot — table-level metrics. */
@@ -380,8 +451,22 @@ final class IceTable(val root: String) {
     * deliberately: "was this epoch committed" must stay true for replay
     * idempotency even after its snapshot is vacuumed.
     *
+    * SAFE TO RUN CONCURRENTLY WITH WRITERS (the out-of-band janitor case,
+    * TierStore.vacuumRetention) under two rules, both Iceberg's own:
+    *   - unreferenced data files are deleted ONLY if older than `minAgeMs`
+    *     (default 1h — Iceberg remove_orphan_files' older_than): a writer
+    *     that has staged data but not yet claimed its snapshot JSON is
+    *     invisible to the manifest walk, and the grace window is what keeps
+    *     its fresh files alive until the claim lands;
+    *   - snapshot JSONs are deleted only BELOW the horizon; anything at or
+    *     above it — including claims that raced in while vacuum ran — is
+    *     never touched (claims above the CURRENT hint ARE commits here,
+    *     see the commit protocol).
+    * Callers doing offline cleanup of a known-quiesced table may pass
+    * minAgeMs = 0 to reclaim everything immediately.
+    *
     * Returns (snapshots deleted, data files deleted, bytes freed). */
-  def vacuum(keepFromId: Long): (Int, Int, Long) = {
+  def vacuum(keepFromId: Long, minAgeMs: Long = 3600 * 1000L): (Int, Int, Long) = {
     val curId = currentSnapshotId
     require(keepFromId <= curId, s"keepFromId $keepFromId is ahead of CURRENT $curId")
     // capture idempotency keys FIRST: a crash between a keyed commit and
@@ -419,17 +504,22 @@ final class IceTable(val root: String) {
       }
     }
     val referenced = keptIds.flatMap(id => resolved(snap(id).get)).map(f => new Path(f.path)).toSet
-    // delete unreferenced data files (+ any crashed-commit temp dirs)
+    val ageCutoff = System.currentTimeMillis() - minAgeMs
+    // delete unreferenced data files + crashed-commit temp dirs, but only
+    // past the grace window — an in-flight writer's staged-but-unclaimed
+    // data is always younger than minAgeMs (see scaladoc)
     var filesDeleted = 0
     var bytesFreed = 0L
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { d =>
-        if (d.getPath.getName.startsWith(".tmp-")) fs.delete(d.getPath, true): Unit
-        else {
+        if (d.getPath.getName.startsWith(".tmp-")) {
+          if (d.getModificationTime < ageCutoff) fs.delete(d.getPath, true): Unit
+        } else {
           // skip _SUCCESS/._* markers — Hadoop convention for non-data files
           fs.listStatus(d.getPath).foreach { f =>
             val name = f.getPath.getName
-            if (!name.startsWith("_") && !name.startsWith(".") && !referenced.contains(f.getPath)) {
+            if (!name.startsWith("_") && !name.startsWith(".") &&
+                !referenced.contains(f.getPath) && f.getModificationTime < ageCutoff) {
               bytesFreed += f.getLen
               filesDeleted += 1
               fs.delete(f.getPath, false): Unit
@@ -440,20 +530,24 @@ final class IceTable(val root: String) {
         }
       }
     }
-    // drop pre-horizon snapshot JSONs, plus ORPHANS above CURRENT (a
-    // crashed commit that wrote its JSON but never moved CURRENT): their
-    // data files are unreferenced and were just swept, so keeping the JSON
-    // would leave a snapshot scanAt() accepts but cannot read. Safe under
-    // the single-writer contract (no commit is in flight during vacuum).
+    // drop pre-horizon snapshot JSONs ONLY. Ids above the horizon — even
+    // above the CURRENT hint — are committed claims (possibly racing this
+    // vacuum) and must survive; currentSnapshotId's listing-max already
+    // treats them as the table head.
     var snapsDeleted = 0
     if (fs.exists(snapDir)) {
       fs.listStatus(snapDir).foreach { f =>
         val n = f.getPath.getName
-        scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption.foreach { id =>
-          if (n.startsWith("v") && n.endsWith(".json") && (id < keepFromId || id > curId)) {
-            snapsDeleted += 1
-            fs.delete(f.getPath, false): Unit
+        if (n.startsWith("v") && n.endsWith(".json")) {
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption.foreach { id =>
+            if (id < keepFromId) {
+              snapsDeleted += 1
+              fs.delete(f.getPath, false): Unit
+            }
           }
+        } else if (n.startsWith(".") && n.contains(".claim-") && f.getModificationTime < ageCutoff) {
+          // abandoned claim temp (writer died mid-claim) — grace-aged
+          fs.delete(f.getPath, false): Unit
         }
       }
     }
@@ -464,6 +558,13 @@ final class IceTable(val root: String) {
 object IceTable {
   /** Delta-chain bound: every BaseEvery-th append writes a full manifest. */
   val BaseEvery = 64
+
+  /** Per-root commit monitors: makes the local-FS check-then-rename claim
+    * safe for writers sharing this JVM (HDFS claims are atomic without it;
+    * cross-process local-FS writers keep the single-writer contract). */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def lockFor(root: String): Object =
+    locks.computeIfAbsent(root, _ => new Object)
 
   def apply(root: String): IceTable = new IceTable(root)
 }

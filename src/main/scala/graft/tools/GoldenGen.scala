@@ -26,6 +26,7 @@ object GoldenGen {
     dump("q_minhash_lsh", Seq("id_a", "id_b"))
     dump("q_simhash_pairs", Seq("id_a", "id_b", "hamming"))
     dump("q_ann_lsh", Seq("vec_id", "neighbour_id", "rank"))
+    dump("q_ann_ivf", Seq("vec_id", "neighbour_id", "rank"))
     spark.stop()
   }
 }

@@ -230,4 +230,46 @@ class DedupSpec extends SparkSpec {
     val recall = hits.sum / sample.size
     assert(recall >= 0.8, f"LSH recall@5 too low: $recall%.2f (defaults measured ~0.99)")
   }
+
+  test("IVF ANN: recall@5 >= 0.9 vs brute force AND candidates bounded by list sizes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toDouble
+    val ann = Similarity.ivfTopK(emb, $"vec_id", $"embedding", k = 5)
+      .select($"vec_id", $"neighbour_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val sample = all.keys.toSeq.sorted.take(40)
+    val hits = sample.map { q =>
+      val exact = (all - q).map { case (i, v) => i -> cos(all(q), v) }
+        .toSeq.sortBy(-_._2).take(5).map(_._1).toSet
+      val got = ann.collect { case (a, b) if a == q => b }.toSet
+      (exact intersect got).size.toDouble / 5.0
+    }
+    val recall = hits.sum / sample.size
+    assert(recall >= 0.9, f"IVF recall@5 too low: $recall%.2f (defaults measured 0.94)")
+
+    // the structural scale property: every vector sits in exactly ONE list,
+    // lists stay balanced (Lloyd), and total candidates = Σ probed-list
+    // sizes = n·nProbe/nLists — a bound set by parameters, not bucket luck.
+    // On this near-uniform corpus 0.9 recall COSTS a ~0.6 fraction (recall
+    // ≈ fraction probed is a property of uniform data); the point is the
+    // fraction is chosen, bounded, and skew-free, where RHP banding at the
+    // same recall silently degenerated to ~all pairs through ONE hot bucket.
+    val (_, indexed, probed) = Similarity.ivfParts(
+      emb, $"vec_id", $"embedding", nLists = 32, nProbe = 20, lloydIters = 3)
+    assert(indexed.groupBy($"neighbour_id").count().agg(max($"count")).head().getLong(0) == 1L)
+    val listSizes = indexed.groupBy($"list").count().collect()
+      .map(r => r.getAs[Int]("list") -> r.getAs[Long]("count")).toMap
+    assert(listSizes.values.max <= 3 * n.toLong / 32,
+      s"IVF lists must stay balanced, max=${listSizes.values.max} of n=$n")
+    val candidates = probed.collect()
+      .map(r => listSizes.getOrElse(r.getAs[Int]("list"), 0L)).sum.toDouble
+    assert(candidates <= (20.0 / 32 + 0.05) * n * n,
+      f"IVF candidates ${candidates}%.0f must respect the n·P/L structural bound")
+  }
 }

@@ -39,4 +39,5 @@ class GoldenSpec extends SparkSpec {
   test("q_minhash_lsh matches its golden pair set (deterministic LSH)") { check("q_minhash_lsh") }
   test("q_simhash_pairs matches its golden pair set") { check("q_simhash_pairs") }
   test("q_ann_lsh matches its golden top-k (incl. ranks)") { check("q_ann_lsh") }
+  test("q_ann_ivf matches its golden top-k (incl. ranks)") { check("q_ann_ivf") }
 }

@@ -52,13 +52,60 @@ class IceTableSpec extends SparkSpec {
   test("orphan data dir from a crashed commit never wedges later appends") {
     val t = IceTable(tmp("ice"))
     t.append(turnsDf.where($"turn_idx" % 2 === 0), "ts")
-    // simulate a crash AFTER the data rename but BEFORE the snapshot commit:
-    // an orphan data/snap-00002 exists, CURRENT still points at 1
-    val orphan = new java.io.File(s"${t.root}/data/snap-00002")
+    // simulate a crash AFTER the data rename but BEFORE the snapshot claim:
+    // an unreferenced UUID data dir exists, no JSON points at it
+    val orphan = new java.io.File(s"${t.root}/data/d-dead-beef")
     assert(orphan.mkdirs())
     val id = t.append(turnsDf.where($"turn_idx" % 2 === 1), "ts")
-    assert(id == 3, s"next append must skip the orphan id, got $id")
+    assert(id == 2, s"data dirs carry no ids — next claim is simply parent+1, got $id")
     assert(t.scan(spark).count() == turnsDf.count())
+    // the orphan is invisible to scans and reclaimable by an aged vacuum
+    assert(t.vacuum(keepFromId = id, minAgeMs = 0)._1 == 1) // snapshot 1's JSON
+  }
+
+  test("a claimed snapshot JSON above the CURRENT hint IS the table head (pointer heals)") {
+    val t = IceTable(tmp("ice"))
+    t.append(turnsDf.where($"turn_idx" % 2 === 0), "ts")
+    val id2 = t.append(turnsDf.where($"turn_idx" % 2 === 1), "ts")
+    // simulate a writer that crashed between its JSON claim and the CURRENT
+    // advance: wind the hint back below the committed claim (drop Hadoop's
+    // checksum sidecar too — we bypass the FS API on purpose here)
+    new java.io.File(s"${t.root}/.CURRENT.crc").delete()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"${t.root}/CURRENT"), "1".getBytes)
+    assert(t.currentSnapshotId == id2, "listing-max must out-vote a stale CURRENT hint")
+    assert(t.scan(spark).count() == turnsDf.count())
+    // and the next commit parents off the healed head
+    val id3 = t.expireOlderThan(Long.MinValue)
+    assert(id3 == id2 + 1 && t.snapshot(id3).get.parentId == id2)
+  }
+
+  test("two interleaved writers: every append lands, chain is linear, no file set lost") {
+    val root = tmp("ice")
+    val writers = (0 until 4).map(_ => IceTable(root))
+    val perWriter = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = writers.zipWithIndex.map { case (w, i) =>
+      scala.concurrent.Future {
+        (0 until perWriter).map { k =>
+          w.append(turnsDf.where($"turn_idx" % 12 === (i * perWriter + k)).coalesce(1), "ts")
+        }
+      }
+    }
+    val ids = scala.concurrent.Await
+      .result(scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(300, "s"))
+      .flatten
+    pool.shutdown()
+    val n = writers.size * perWriter
+    // every writer got a distinct id and the chain is exactly 1..n
+    assert(ids.toSet == (1L to n).toSet, s"lost/duplicated claims: $ids")
+    // linear lineage: each snapshot parents the previous one
+    (1L to n).foreach(id => assert(writers.head.snapshot(id).get.parentId == id - 1))
+    // no file set lost: the head resolves every writer's rows
+    val t = writers.head
+    assert(t.currentSnapshotId == n)
+    assert(t.scan(spark).count() == turnsDf.where($"turn_idx" % 12 < n).count())
   }
 
   test("scanAt time-travels to any committed snapshot (expiry keeps files readable)") {
@@ -164,7 +211,7 @@ class IceTableSpec extends SparkSpec {
     val extraId = t.append(thirds(0).limit(7).coalesce(1), "ts") // a kept DELTA over the rewrite base
     val expected = t.scan(spark).count()
 
-    val (snaps, files, bytes) = t.vacuum(keepFromId = compactId)
+    val (snaps, files, bytes) = t.vacuum(keepFromId = compactId, minAgeMs = 0)
     assert(snaps == 3 && files == 3 && bytes > 0,
       s"3 pre-compaction snapshots + their files must go, got ($snaps, $files, $bytes)")
     // current lineage unaffected: full scan + the kept delta still resolve
@@ -174,10 +221,26 @@ class IceTableSpec extends SparkSpec {
     // pre-horizon time travel is gone (that is the point of vacuum)
     intercept[IllegalArgumentException](t.scanAt(spark, 1L))
     // idempotent: nothing left to reclaim
-    assert(t.vacuum(keepFromId = compactId) == ((0, 0, 0L)))
+    assert(t.vacuum(keepFromId = compactId, minAgeMs = 0) == ((0, 0, 0L)))
   }
 
-  test("vacuum preserves idempotency keys of vacuumed snapshots and sweeps orphan JSONs") {
+  test("vacuum grace window spares fresh unreferenced data (concurrent-writer safety)") {
+    val t = IceTable(tmp("ice"))
+    t.append(turnsDf.where($"turn_idx" % 2 === 0).coalesce(1), "ts")
+    val compactId = t.rewriteCompact(spark, "ts") // snapshot 1's files now unreferenced
+    // default-style grace: everything here is younger than minAgeMs, so the
+    // unreferenced bytes (≈ a mid-commit writer's staged data) must survive
+    val (snapsA, filesA, bytesA) = t.vacuum(keepFromId = compactId, minAgeMs = 3600 * 1000L)
+    assert(filesA == 0 && bytesA == 0L, s"grace window must spare fresh files, got ($filesA, $bytesA)")
+    assert(snapsA == 1, "metadata below the horizon still goes (it is committed, not in-flight)")
+    assert(t.scan(spark).count() > 0)
+    // aged (grace 0): now the unreferenced bytes are reclaimed
+    val (_, filesB, bytesB) = t.vacuum(keepFromId = compactId, minAgeMs = 0)
+    assert(filesB > 0 && bytesB > 0L)
+    assert(t.scan(spark).count() > 0)
+  }
+
+  test("vacuum preserves idempotency keys of vacuumed snapshots") {
     val t = IceTable(tmp("ice"))
     val half1 = turnsDf.where($"turn_idx" % 2 === 0)
     val half2 = turnsDf.where($"turn_idx" % 2 === 1)
@@ -185,12 +248,9 @@ class IceTableSpec extends SparkSpec {
     val id1 = t.append(half2, "ts", key = Some("ck#e1"))
     // crash-window simulation: the post-commit index write never happened
     assert(new java.io.File(s"${t.root}/keys.json").delete())
-    // orphan from a crashed commit: JSON written, CURRENT never moved
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"${t.root}/snapshots/v00009.json"),
-      s"""{"id":9,"parent_id":$id1,"op":"append","delta":false,"chain_len":0,"files":[]}""".getBytes)
     val id2 = t.rewriteCompact(spark, "ts")
-    t.vacuum(keepFromId = id2) // deletes the keyed snapshots' JSONs + the orphan
-    assert(t.snapshot(id0).isEmpty && t.snapshot(9L).isEmpty)
+    t.vacuum(keepFromId = id2, minAgeMs = 0) // deletes the keyed snapshots' JSONs
+    assert(t.snapshot(id0).isEmpty)
     // replay of the vacuumed epochs must STILL be a no-op: vacuum synced
     // the key index from the log BEFORE deleting the JSONs
     assert(t.append(half1, "ts", key = Some("ck#e0")) == id0)
@@ -205,7 +265,7 @@ class IceTableSpec extends SparkSpec {
     val expected = t.scan(spark).count()
     // keep only the LAST delta: its chain references both dropped snapshots,
     // so vacuum must materialize it as a base manifest first
-    val (snaps, files, bytes) = t.vacuum(keepFromId = ids.last)
+    val (snaps, files, bytes) = t.vacuum(keepFromId = ids.last, minAgeMs = 0)
     assert(snaps == 2 && files == 0 && bytes == 0L,
       s"all data files stay referenced by the rebased head, got ($snaps, $files, $bytes)")
     assert(!t.current.get.delta && t.scan(spark).count() == expected)

@@ -50,6 +50,15 @@ class TierStoreSpec extends SparkSpec {
       .select($"conv_id", $"p.ts_us", $"p.v")
       .orderBy("conv_id", "ts_us", "v").collect()
     assert(viaUdf.sameElements(replayed))
+
+    // per-tier slice sizing: the fine tier keeps ~day slices (many files,
+    // expiry granularity) while coarse tiers must NOT inherit that count —
+    // a month-span fixture gets weekly 1h files and ~one 1d file
+    val (f1m, f1h, f1d) = (tiers.t1m.currentLiveFiles.length,
+      tiers.t1h.currentLiveFiles.length, tiers.t1d.currentLiveFiles.length)
+    assert(f1m >= 10, s"1m tier should keep day-grained slices, got $f1m files")
+    assert(f1h <= 8, s"1h tier must not over-slice, got $f1h files")
+    assert(f1d <= 3, s"1d tier must not over-slice, got $f1d files")
   }
 
   test("incremental sync: appending raw data rebuilds ONLY the touched days at EVERY tier") {
@@ -119,7 +128,7 @@ class TierStoreSpec extends SparkSpec {
     // out-of-band janitor: physical reclamation frees the 1m tier's aged
     // bytes (its retention bit hardest) and post-vacuum scans are unchanged
     val before1m = tiers.t1m.scan(spark).count()
-    val freed = TierStore.vacuumRetention(tiers)
+    val freed = TierStore.vacuumRetention(tiers, minAgeMs = 0) // quiesced table
     assert(freed.head._3 > 0, s"1m tier must free bytes, got $freed")
     assert(tiers.t1m.scan(spark).count() == before1m)
     assert(tiers.t1d.scan(spark).count() > 0)

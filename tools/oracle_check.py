@@ -55,7 +55,10 @@ for name, sql in sorted(oracle.items()):
         if pd.api.types.is_float_dtype(exp[c]) or pd.api.types.is_float_dtype(got[c]):
             af = pd.to_numeric(exp[c], errors="coerce").values.astype(float)
             bf = pd.to_numeric(got[c], errors="coerce").values.astype(float)
-            same = (np.isnan(af) & np.isnan(bf)) | (af == bf)
+            # the driver hashes raw BITS: -0.0 == 0.0 under ==, but they
+            # hash differently — require matching sign bits too
+            same = (np.isnan(af) & np.isnan(bf)) | (
+                (af == bf) & (np.signbit(af) == np.signbit(bf)))
         else:
             same = (pd.isna(exp[c]).values & pd.isna(got[c]).values) | (a == b)
         if not same.all():
