@@ -928,6 +928,131 @@ object Queries {
           |  FROM dc CROSS JOIN (VALUES ('summary:weekly:daycount:v'),
           |    ('adherence:weekly:daycount:v')) t(concept)""".stripMargin))),
 
+    // FLAGSHIP COMPOSITION #4 (reference weekly-hrv-measures.R:149-283
+    // end-to-end on the events shape): 5 per-day HRV-style variables
+    // (masked NA-skipping daily means of rmssd/coverage/hf/lf + the
+    // derived lf/hf ratio, :185-220) → wear-time day gate from an
+    // INDEPENDENT daily aggregate (≥480-min analog, :155-166,232-237) →
+    // weekly means + record-count total (:246-251) → unpivot into
+    // 'summary:weekly:mean:<var>' + 'summary:weekly:numrecords:hrv'
+    // concept rows (:258-283). With this, every reference top-level
+    // script has a composed end-to-end oracle row.
+    "q_weekly_hrv" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir).withColumn("day", date_trunc("day", col("ts")))
+        def m(t: String) = Scalars.maskUnless(col("value"), col("event_type") === t)
+        val daily = ev.groupBy(col("user_id"), col("day"))
+          .agg(
+            avg(m("click")).as("rmssd"),
+            avg(m("view")).as("coverage"),
+            avg(m("purchase")).as("hf"),
+            avg(m("error")).as("lf"),
+            count(lit(1)).as("nrec"))
+          .withColumn("ratiof", col("lf") / col("hf"))
+        // the wear gate comes from its own aggregate over the raw rows
+        // (reference reads a separate dailydata table) — unbounded small
+        // side, hint-free semi-join, AQE decides
+        val wear = ev.groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n")).where(col("n") >= 4)
+          .select(col("user_id"), col("day"))
+        val gated = daily.join(wear, Seq("user_id", "day"), "left_semi")
+          .withColumn("week_start", TimeBuckets.weekSunday(col("day")))
+        val weekly = gated.groupBy(col("user_id").as("conv_id"), col("week_start"))
+          .agg(
+            round(avg(col("rmssd")), 6).as("hrv_rmssd"),
+            round(avg(col("coverage")), 6).as("hrv_coverage"),
+            round(avg(col("hf")), 6).as("hf"),
+            round(avg(col("lf")), 6).as("lf"),
+            round(avg(col("ratiof")), 6).as("ratiof"),
+            sum(col("nrec")).cast("double").as("nrec"))
+        weekly.select(col("conv_id"), col("week_start"),
+          expr("""stack(6,
+            'summary:weekly:mean:hrv_rmssd', hrv_rmssd,
+            'summary:weekly:mean:hrv_coverage', hrv_coverage,
+            'summary:weekly:mean:hf', hf,
+            'summary:weekly:mean:lf', lf,
+            'summary:weekly:mean:ratiof', ratiof,
+            'summary:weekly:numrecords:hrv', nrec) AS (concept, nval_num)"""))
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day,
+          |    avg(CASE WHEN event_type = 'click' THEN value END) AS rmssd,
+          |    avg(CASE WHEN event_type = 'view' THEN value END) AS coverage,
+          |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS hf,
+          |    avg(CASE WHEN event_type = 'error' THEN value END) AS lf,
+          |    count(*) AS nrec
+          |  FROM events GROUP BY 1, 2),
+          |wear AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day
+          |  FROM events GROUP BY 1, 2 HAVING count(*) >= 4),
+          |g AS (
+          |  SELECT d.*, d.lf / d.hf AS ratiof
+          |  FROM daily d JOIN wear w USING (user_id, day)),
+          |w AS (
+          |  SELECT user_id AS conv_id,
+          |    date_trunc('week', day + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week_start,
+          |    round(avg(rmssd), 6) AS hrv_rmssd,
+          |    round(avg(coverage), 6) AS hrv_coverage,
+          |    round(avg(hf), 6) AS hf,
+          |    round(avg(lf), 6) AS lf,
+          |    round(avg(ratiof), 6) AS ratiof,
+          |    sum(nrec)::double AS nrec
+          |  FROM g GROUP BY 1, 2)
+          |SELECT conv_id, week_start, 'summary:weekly:mean:hrv_rmssd' AS concept, hrv_rmssd AS nval_num FROM w
+          |UNION ALL SELECT conv_id, week_start, 'summary:weekly:mean:hrv_coverage', hrv_coverage FROM w
+          |UNION ALL SELECT conv_id, week_start, 'summary:weekly:mean:hf', hf FROM w
+          |UNION ALL SELECT conv_id, week_start, 'summary:weekly:mean:lf', lf FROM w
+          |UNION ALL SELECT conv_id, week_start, 'summary:weekly:mean:ratiof', ratiof FROM w
+          |UNION ALL SELECT conv_id, week_start, 'summary:weekly:numrecords:hrv', nrec FROM w""".stripMargin))),
+
+    // The FAITHFUL episode-grid SRI (functions/sri.R:27-61): episodes with
+    // (start, end, status, source-order) explode to 300s ticks, overlaps
+    // dedup keep-LAST by source order (:37-39), the per-entity span
+    // densifies with gap-fill status 0 (:47-61), and the 1-day-lag
+    // agreement scores (:4-9). Episodes are derived deterministically from
+    // events (episode = [ts, ts + 600 + floor(value) seconds], status 1
+    // for click/view else 0, source order = event_id); q_sri_grid covers
+    // the sparse ACTIVITY form — this row exercises Sri.episodeSri, the
+    // reference's true input shape.
+    "q_episode_sri" -> ((
+      (s: SparkSession, dir: String) => {
+        val ep = events(s, dir).select(
+          col("user_id"),
+          col("event_id"),
+          when(col("event_type").isin("click", "view"), lit(1)).otherwise(lit(0)).as("st"),
+          col("ts").as("ep_start"),
+          timestamp_seconds(unix_timestamp(col("ts").cast("timestamp"))
+            + lit(600L) + floor(col("value")).cast("long")).as("ep_end"))
+        Sri.episodeSri(ep, col("user_id"), col("ep_start"), col("ep_end"), col("st"),
+            col("event_id"), tickSeconds = 300, lagTicks = 288)
+          .select(col("conv_id"), round(col("sri"), 6).as("sri"))
+      },
+      Some(
+        """WITH ep AS (
+          |  SELECT user_id, event_id,
+          |    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS st,
+          |    (epoch_us(ts) // 1000000) // 300 AS t0,
+          |    ((epoch_us(ts) // 1000000) + 600 + floor(value)::BIGINT) // 300 AS t1
+          |  FROM events),
+          |tk AS (
+          |  SELECT user_id, event_id, st, unnest(generate_series(t0, t1)) AS tick FROM ep),
+          |dd AS (
+          |  SELECT user_id, tick, st FROM tk
+          |  WINDOW w AS (PARTITION BY user_id, tick ORDER BY event_id DESC)
+          |  QUALIFY row_number() OVER w = 1),
+          |span AS (SELECT user_id, min(tick) AS lo, max(tick) AS hi FROM dd GROUP BY 1),
+          |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS tick FROM span),
+          |st AS (
+          |  SELECT g.user_id, g.tick, coalesce(d.st, 0) AS status
+          |  FROM grid g LEFT JOIN dd d ON d.user_id = g.user_id AND d.tick = g.tick),
+          |lg AS (
+          |  SELECT user_id, status,
+          |    lag(status, 288) OVER (PARTITION BY user_id ORDER BY tick) AS prev
+          |  FROM st)
+          |SELECT user_id AS conv_id, round(200.0 * avg((status = prev)::int) - 100.0, 6) AS sri
+          |FROM lg WHERE prev IS NOT NULL GROUP BY 1""".stripMargin))),
+
     // FLAGSHIP COMPOSITION #3 (reference sleepSD.R:52-266 on the events
     // shape): A11 anchor = min over TWO per-entity date aggregates with NA
     // handling (the infection anchor, sleepSD.R:9-13) → P7 post-anchor

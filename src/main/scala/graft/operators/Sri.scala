@@ -54,8 +54,23 @@ object Sri {
   /** Faithful reference pipeline over (entity, episode_start, episode_end,
     * status) episodes: explode to ticks, keep-last per tick (overlapping
     * episodes: later source wins, sri.R:37-39), dense per-entity grid over
-    * the full span, fill gaps with `fillStatus` (sri.R:57-61 fills 0),
-    * then the lag score. */
+    * the full span with `fillStatus` in the gaps (sri.R:57-61 fills 0),
+    * then the lag score.
+    *
+    * Computed WITHOUT materializing the dense grid: a tick t can disagree
+    * with t−lag only if at least one of them carries a non-fill status
+    * (everywhere else both sides are `fillStatus` and agree trivially), so
+    * |disagree| is a full-outer join of the non-fill SUPPORT with its
+    * +lag shift, restricted to the compared range — O(episode-ticks)
+    * instead of the grid's O(span/tick) per entity (at the bench shape
+    * ~300k support rows vs a 13M+ row grid; at a sparse 100 TB corpus the
+    * difference between scanning activity and scanning time itself). The
+    * keep-last dedup runs BEFORE the support filter, so a later source
+    * overriding a tick to `fillStatus` removes it from the support exactly
+    * as the dense grid would. Result-identical to [[episodeSriDense]]
+    * (spec-pinned; the score's (T−D)/T arithmetic is exact-integer in
+    * double, so the forms agree bit-for-bit mod the documented 200·x−100
+    * association, absorbed by callers' 6-decimal rounding). */
   def episodeSri(
       episodes: DataFrame,
       entity: Column,
@@ -66,6 +81,37 @@ object Sri {
       tickSeconds: Int,
       lagTicks: Int,
       fillStatus: Int = 0): DataFrame = {
+    val deduped = dedupedEpisodeTicks(episodes, entity, start, end, status, srcOrder, tickSeconds)
+    // span over ALL deduped ticks (fill-valued episodes still stretch it)
+    val span = deduped.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
+      .where(col("hi") - col("lo") >= lagTicks)
+    val support = deduped.where(col("st") =!= lit(fillStatus))
+    val ranged = span.select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
+    def inRange(df: DataFrame): DataFrame = df
+      .join(ranged, Seq("e"))
+      .where(col("tick") >= col("_rlo") && col("tick") <= col("_rhi"))
+      .drop("_rlo", "_rhi")
+    val cur = inRange(support)
+    val prv = inRange(support.select(col("e"), (col("tick") + lagTicks).as("tick"), col("st").as("_stp")))
+    val dis = cur.join(prv, Seq("e", "tick"), "full_outer")
+      .where(coalesce(col("st"), lit(fillStatus)) =!= coalesce(col("_stp"), lit(fillStatus)))
+      .groupBy(col("e")).agg(count(lit(1)).as("_disagree"))
+    span.join(dis, Seq("e"), "left")
+      .withColumn("_t", col("hi") - col("lo") + 1 - lagTicks)
+      .withColumn("_d", coalesce(col("_disagree"), lit(0L)))
+      .select(col("e").as("conv_id"),
+        (lit(200.0) * (col("_t") - col("_d")) / col("_t") - 100.0).as("sri"))
+  }
+
+  /** Episode ticks after keep-last overlap dedup (sri.R:27-39). */
+  private def dedupedEpisodeTicks(
+      episodes: DataFrame,
+      entity: Column,
+      start: Column,
+      end: Column,
+      status: Column,
+      srcOrder: Column,
+      tickSeconds: Int): DataFrame = {
     val ticks = episodes
       .select(
         entity.as("e"),
@@ -75,10 +121,27 @@ object Sri {
           (unix_timestamp(start.cast("timestamp")) / tickSeconds).cast("long"),
           (unix_timestamp(end.cast("timestamp")) / tickSeconds).cast("long"))).as("tick"))
     val keepLast = Window.partitionBy(col("e"), col("tick")).orderBy(col("src").desc)
-    val deduped = ticks
+    ticks
       .withColumn("_rn", row_number().over(keepLast))
       .where(col("_rn") === 1)
       .select(col("e"), col("tick"), col("st"))
+  }
+
+  /** The literal dense-grid reference form of [[episodeSri]] (materializes
+    * the per-entity tick grid, left-joins the deduped episodes, lags). Kept
+    * as the executable specification the sparse form is pinned against —
+    * use `episodeSri` in production. */
+  private[graft] def episodeSriDense(
+      episodes: DataFrame,
+      entity: Column,
+      start: Column,
+      end: Column,
+      status: Column,
+      srcOrder: Column,
+      tickSeconds: Int,
+      lagTicks: Int,
+      fillStatus: Int = 0): DataFrame = {
+    val deduped = dedupedEpisodeTicks(episodes, entity, start, end, status, srcOrder, tickSeconds)
     val span = deduped.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
     val filled = denseTickGrid(span, tickSeconds)
       .join(deduped, Seq("e", "tick"), "left")

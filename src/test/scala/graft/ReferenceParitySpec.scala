@@ -120,6 +120,35 @@ class ReferenceParitySpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-9, s"got $got expected $expected")
   }
 
+  test("episode SRI: sparse support form equals the dense-grid reference form") {
+    import graft.operators.Sri
+    // mixed shapes: overlaps with keep-last overrides (incl. override TO the
+    // fill value), explicit fill-status episodes stretching the span, a
+    // second entity with a different pattern, and one entity too short to
+    // have any compared ticks (must appear in NEITHER result)
+    val eps = Seq(
+      ("c1", "2025-01-01 00:00:00", "2025-01-01 08:00:00", 1, 1),
+      ("c1", "2025-01-01 06:00:00", "2025-01-01 08:00:00", 0, 2), // override to fill
+      ("c1", "2025-01-02 02:00:00", "2025-01-02 08:00:00", 1, 3),
+      ("c1", "2025-01-02 23:00:00", "2025-01-02 23:30:00", 0, 4), // fill episode stretches span
+      ("c2", "2025-01-01 00:00:00", "2025-01-01 04:00:00", 2, 1), // multi-valued status
+      ("c2", "2025-01-02 00:00:00", "2025-01-02 04:00:00", 1, 2),
+      ("c2", "2025-01-02 01:00:00", "2025-01-02 03:00:00", 2, 3),
+      ("c3", "2025-01-01 00:00:00", "2025-01-01 01:00:00", 1, 1)) // span < lag
+      .toDF("conv_id", "start", "end", "status", "src")
+      .select($"conv_id", to_timestamp($"start").as("start"), to_timestamp($"end").as("end"), $"status", $"src")
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("sri")).toMap
+    val sparse = scores(Sri.episodeSri(eps, $"conv_id", $"start", $"end", $"status", $"src",
+      tickSeconds = 30, lagTicks = 2880))
+    val dense = scores(Sri.episodeSriDense(eps, $"conv_id", $"start", $"end", $"status", $"src",
+      tickSeconds = 30, lagTicks = 2880))
+    assert(sparse.keySet == dense.keySet && sparse.keySet == Set("c1", "c2"))
+    sparse.keySet.foreach { e =>
+      assert(math.abs(sparse(e) - dense(e)) < 1e-9, s"$e: sparse=${sparse(e)} dense=${dense(e)}")
+    }
+  }
+
   test("F3 sliding SRI: bucketed daily scores + sliding window composition (sri.R:96-121,181-195)") {
     import graft.operators.{Sliding, Sri}
     // 4 days of turns: same 3 active hours daily except day 3 shifts by 2h
