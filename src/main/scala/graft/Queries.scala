@@ -135,7 +135,7 @@ object Queries {
            |  FROM events)
            |SELECT conv_id, count(*) AS n_rows,
            |  round(((atan2(sum(s), sum(c)) * 24.0 / (2*pi())) % 24 + 24) % 24, 4) AS circ_mean_h,
-           |  round(sqrt(-2.0 * ln(least(sqrt(sum(s)*sum(s) + sum(c)*sum(c)) / count(*), 1.0))) * 24.0 / (2*pi()), 4) AS circ_sd_h
+           |  round(sqrt(-2.0 * ln(least(sqrt(sum(s)*sum(s) + sum(c)*sum(c)) / count(*), 1.0))) * 24.0 / (2*pi()), 4) + 0.0 AS circ_sd_h
            |FROM b GROUP BY 1""".stripMargin))),
 
     // P7 retention window: rows at/after per-entity anchor + interval.
@@ -948,7 +948,10 @@ object Queries {
             avg(m("purchase")).as("hf"),
             avg(m("error")).as("lf"),
             count(lit(1)).as("nrec"))
-          .withColumn("ratiof", col("lf") / col("hf"))
+          // hf can be exactly 0.0 (a day whose only purchases are value
+          // 0.0); ANSI division errors where DuckDB yields inf — guard to
+          // NULL on BOTH sides so the engines agree
+          .withColumn("ratiof", when(col("hf") =!= 0.0, col("lf") / col("hf")))
         // the wear gate comes from its own aggregate over the raw rows
         // (reference reads a separate dailydata table) — unbounded small
         // side, hint-free semi-join, AQE decides
@@ -987,7 +990,7 @@ object Queries {
           |  SELECT user_id, date_trunc('day', ts) AS day
           |  FROM events GROUP BY 1, 2 HAVING count(*) >= 4),
           |g AS (
-          |  SELECT d.*, d.lf / d.hf AS ratiof
+          |  SELECT d.*, CASE WHEN d.hf <> 0 THEN d.lf / d.hf END AS ratiof
           |  FROM daily d JOIN wear w USING (user_id, day)),
           |w AS (
           |  SELECT user_id AS conv_id,

@@ -204,7 +204,11 @@ object Similarity {
       nProbe: Int,
       lloydIters: Int): (DataFrame, DataFrame, DataFrame) = {
     import graft.plans.IvfProbes.ivfProbes
+    // one scan of the source feeds the seed pass, every Lloyd iteration,
+    // and the three downstream frames (index/probe/verify) — without the
+    // persist each of those re-read and re-shuffled the input
     val vecs = df.select(id.as("id"), emb.as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def toVec(a: Any): Array[Double] = a match {
       case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Number].doubleValue).toArray
@@ -225,10 +229,14 @@ object Similarity {
 
     (1 to lloydIters).foreach { _ =>
       // spherical k-means step: per-dim means by assigned list (the
-      // posexplode Generate computes the assignment ONCE per row)
+      // posexplode Generate computes the assignment ONCE per row). The
+      // size(...) guard drops malformed vectors (empty probe array) BEFORE
+      // element_at — ANSI mode turns element_at on an empty array into a
+      // runtime error, not a null.
       val means = vecs
-        .select(element_at(ivfProbes(col("e"), cents, 1), 1).as("list"),
-          posexplode(col("e")))
+        .select(ivfProbes(col("e"), cents, 1).as("_p"), col("e"))
+        .where(size(col("_p")) > 0)
+        .select(element_at(col("_p"), 1).as("list"), posexplode(col("e")))
         .groupBy(col("list"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
         .collect()
@@ -241,15 +249,22 @@ object Similarity {
       cents = next
     }
 
+    // ONE probes evaluation per row serves both sides: the nearest list is
+    // the first (descending-ordered) probe, so the index is element_at(_p,
+    // 1) and the query side explodes the same array. Malformed vectors
+    // (empty _p) drop out before element_at — ANSI errors on empty arrays.
+    val withProbes = vecs
+      .select(col("id"), col("e"), ivfProbes(col("e"), cents, probes).as("_p"))
+      .where(size(col("_p")) > 0)
     // inverted lists: each vector in exactly ONE list; its embedding rides
     // the (single-copy) index row, so the verify needs no second join for
     // the neighbour side
-    val indexed = vecs.select(
+    val indexed = withProbes.select(
       col("id").as("neighbour_id"), col("e").as("e_b"),
-      element_at(ivfProbes(col("e"), cents, 1), 1).as("list"))
+      element_at(col("_p"), 1).as("list"))
     // query side: nProbe nearest lists per vector (ids only ride the fan-out)
-    val probed = vecs.select(col("id").as("vec_id"),
-      explode(ivfProbes(col("e"), cents, probes)).as("list"))
+    val probed = withProbes.select(col("id").as("vec_id"),
+      explode(col("_p")).as("list"))
     (vecs, indexed, probed)
   }
 }

@@ -97,6 +97,9 @@ object IvfProbes {
         if (!taken(i) && dots(i) > bestDot) { best = i; bestDot = dots(i) }
         i += 1
       }
+      // a NaN element makes EVERY dot NaN and no candidate compares above
+      // -Inf — treat like the other malformed shapes: probe nothing
+      if (best < 0) return new GenericArrayData(Array.empty[Int])
       taken(best) = true
       out(k) = best
       k += 1

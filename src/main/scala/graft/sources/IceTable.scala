@@ -237,14 +237,15 @@ final class IceTable(val root: String) {
     val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
     try { fc.rename(tmp, dst); true }
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException
            | _: java.nio.file.FileAlreadyExistsException
-           | _: java.io.IOException =>
+           | _: java.io.IOException) =>
         // claim lost (or storage refused) — if dst now exists someone else
         // committed this id; surface anything else as a real failure
         fs.delete(tmp, false): Unit
         if (fs.exists(dst)) false
-        else throw new IllegalStateException(s"IceTable claim of $dst failed without a competing snapshot")
+        else throw new IllegalStateException(
+          s"IceTable claim of $dst failed without a competing snapshot", e)
     }
   }
 
@@ -252,8 +253,14 @@ final class IceTable(val root: String) {
     * claim parent.id + 1; on a lost claim re-read the parent (which now
     * includes the winner) and rebuild. `build` must therefore be a pure
     * function of (parent, id). Advances the CURRENT hint on success. */
+  /** FS-qualified canonical root — the commit-lock key. Two instances on
+    * the same directory must share one monitor even when spelled
+    * differently ("/t" vs "/t/" vs relative), or the local-FS
+    * check-then-rename claim loses its same-JVM atomicity. */
+  private lazy val canonicalRoot: String = fs.makeQualified(rootPath).toUri.toString
+
   private def claimCommit(build: (Option[Snapshot], Long) => Snapshot): Snapshot =
-    IceTable.lockFor(root).synchronized {
+    IceTable.lockFor(canonicalRoot).synchronized {
       var attempts = 0
       var committed: Option[Snapshot] = None
       while (committed.isEmpty) {

@@ -22,8 +22,10 @@ object QueryProbe {
     (1 to runs).foreach { i =>
       System.gc()
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s, rows=$n")
+      // noop sink like Bench: count() lets Catalyst prune whole column
+      // trees (it hid a 46s window stage once) — time what consumers pay
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }
