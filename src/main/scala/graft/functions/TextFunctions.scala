@@ -44,13 +44,29 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: long-enough, diverse, not
     * punctuation-soup — the length/punct/stopword-ratio family of heuristics
-    * used to filter web corpora (C4/Gopher-style rules, public literature). */
+    * used to filter web corpora (C4/Gopher-style rules, public literature).
+    *
+    * The token arrays are LET-BOUND via a one-element transform() so each
+    * tokenization runs once per row: composing tokenCount +
+    * distinctTokenRatio + stopwordRatio as separate Columns repeated the
+    * split() subtree ~7× (conditional subtrees escape subexpression
+    * elimination — same pathology as the old langId). Lambda-bound `tk`
+    * references are field reads on a materialized struct: free. */
   def qualityScore(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
-    val diversity = distinctTokenRatio(text)
     val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
-    round((lenScore + diversity + punctPenalty + stopScore) / 4.0, 6)
+    val bound = array(struct(tokens(text).as("t"), tokens(lower(text)).as("tl")))
+    element_at(transform(bound, tk => {
+      val toks = tk("t")
+      val lowToks = tk("tl")
+      val lenScore = least(size(toks).cast("double") / 20.0, lit(1.0))
+      val diversity = when(size(toks) > 0,
+        size(array_distinct(toks)).cast("double") / size(toks)).otherwise(lit(0.0))
+      val stopRatio = when(size(lowToks) > 0,
+        size(filter(lowToks, t => t.isInCollection(stopwords))).cast("double") / size(lowToks))
+        .otherwise(lit(0.0))
+      val stopScore = least(stopRatio * 5.0, lit(1.0))
+      round((lenScore + diversity + punctPenalty + stopScore) / 4.0, 6)
+    }), 1)
   }
 
   val EnStopwords: Seq[String] =
@@ -64,14 +80,30 @@ object TextFunctions {
 
   /** N-gram/stopword-marker language-ID heuristic: argmax over per-language
     * marker-token hit counts; "und" (unknown) when nothing matches. Ties
-    * break by fixed language order (deterministic). */
+    * break by fixed language order (deterministic).
+    *
+    * ONE aggregate pass over ONE tokenization: a struct of per-language
+    * counters folds across the tokens and the argmax happens in the finish
+    * lambda, so the whole thing is a single expression evaluated once per
+    * row. The per-language `size(filter(toks, ...))` form evaluated the
+    * tokenizer + a full array scan per language (conditional subtrees are
+    * not subexpression-eliminated) — measured 4.0s → 0.6s warm for the
+    * lang-ID query at bench scale. */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"), lit(lang).as("lang"))
-    }
-    val best = scored.reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))
-    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    val zero = struct(langs.map { case (l, _) => lit(0).as(l) }: _*)
+    aggregate(
+      toks,
+      zero,
+      (acc, t) => struct(langs.map { case (l, markers) =>
+        (acc(l) + when(t.isInCollection(markers), 1).otherwise(0)).as(l)
+      }: _*),
+      acc => {
+        val scored = langs.map { case (l, _) => struct(acc(l).as("score"), lit(l).as("lang")) }
+        val best = scored.reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))
+        when(best("score") > 0, best("lang")).otherwise(lit("und"))
+      })
   }
 
   /** Canonical content fingerprint: md5 of lowercased, whitespace-collapsed
