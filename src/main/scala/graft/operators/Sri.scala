@@ -82,19 +82,34 @@ object Sri {
       lagTicks: Int,
       fillStatus: Int = 0): DataFrame = {
     val deduped = dedupedEpisodeTicks(episodes, entity, start, end, status, srcOrder, tickSeconds)
-    // span over ALL deduped ticks (fill-valued episodes still stretch it)
-    val span = deduped.groupBy(col("e")).agg(min("tick").as("lo"), max("tick").as("hi"))
+    // span straight from the EPISODES (no explode, no dedup): keep-last
+    // changes which status a tick carries, never which ticks exist, so
+    // [min start-tick, max end-tick] is the deduped span — and deriving it
+    // here keeps the expensive explode+dedup subtree out of the span's
+    // (reused) plan branches
+    val span = episodes
+      .groupBy(entity.as("e"))
+      .agg(min(tickOf(start, tickSeconds)).as("lo"), max(tickOf(end, tickSeconds)).as("hi"))
       .where(col("hi") - col("lo") >= lagTicks)
     val support = deduped.where(col("st") =!= lit(fillStatus))
+    // ONE pass over the support instead of a full-outer self-join (whose
+    // two branches would each re-run the explode+dedup): every support
+    // tick matters at two compared positions — as the CURRENT value at
+    // `tick` and as the LAG value at `tick + lag` — so a 2-fan explode +
+    // (e, tick) aggregate reconstructs both sides of the comparison
+    val sides = support.select(col("e"), explode(array(
+        struct(col("tick"), col("st").as("v"), lit(1).as("is_cur")),
+        struct((col("tick") + lagTicks).as("tick"), col("st").as("v"), lit(0).as("is_cur"))
+      )).as("s"))
+      .select(col("e"), col("s.tick").as("tick"), col("s.v").as("v"), col("s.is_cur").as("is_cur"))
     val ranged = span.select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
-    def inRange(df: DataFrame): DataFrame = df
-      .join(ranged, Seq("e"))
+    val dis = sides.join(ranged, Seq("e"))
       .where(col("tick") >= col("_rlo") && col("tick") <= col("_rhi"))
-      .drop("_rlo", "_rhi")
-    val cur = inRange(support)
-    val prv = inRange(support.select(col("e"), (col("tick") + lagTicks).as("tick"), col("st").as("_stp")))
-    val dis = cur.join(prv, Seq("e", "tick"), "full_outer")
-      .where(coalesce(col("st"), lit(fillStatus)) =!= coalesce(col("_stp"), lit(fillStatus)))
+      .groupBy(col("e"), col("tick"))
+      .agg(
+        max(when(col("is_cur") === 1, col("v"))).as("_stc"),
+        max(when(col("is_cur") === 0, col("v"))).as("_stp"))
+      .where(coalesce(col("_stc"), lit(fillStatus)) =!= coalesce(col("_stp"), lit(fillStatus)))
       .groupBy(col("e")).agg(count(lit(1)).as("_disagree"))
     span.join(dis, Seq("e"), "left")
       .withColumn("_t", col("hi") - col("lo") + 1 - lagTicks)
@@ -102,6 +117,10 @@ object Sri {
       .select(col("e").as("conv_id"),
         (lit(200.0) * (col("_t") - col("_d")) / col("_t") - 100.0).as("sri"))
   }
+
+  /** Epoch tick index of a timestamp column (UTC session ⇒ lossless). */
+  private def tickOf(ts: Column, tickSeconds: Int): Column =
+    (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long")
 
   /** Episode ticks after keep-last overlap dedup (sri.R:27-39). */
   private def dedupedEpisodeTicks(
@@ -117,9 +136,7 @@ object Sri {
         entity.as("e"),
         srcOrder.as("src"),
         status.as("st"),
-        explode(sequence(
-          (unix_timestamp(start.cast("timestamp")) / tickSeconds).cast("long"),
-          (unix_timestamp(end.cast("timestamp")) / tickSeconds).cast("long"))).as("tick"))
+        explode(sequence(tickOf(start, tickSeconds), tickOf(end, tickSeconds))).as("tick"))
     val keepLast = Window.partitionBy(col("e"), col("tick")).orderBy(col("src").desc)
     ticks
       .withColumn("_rn", row_number().over(keepLast))

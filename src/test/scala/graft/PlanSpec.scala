@@ -80,7 +80,7 @@ class PlanSpec extends SparkSpec {
     // a forced broadcast of a per-entity aggregate OOMs at 10^8+ entities;
     // the plan must leave the strategy to AQE (hint-free logical plan)
     for (q <- Seq("q_retention_14d", "q_eligibility", "q_ngram_jaccard_block",
-        "q_weekly_concepts", "q_sleepsd_windows")) {
+        "q_weekly_concepts", "q_sleepsd_windows", "q_weekly_hrv", "q_episode_sri")) {
       val lp = Queries.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint") && !lp.contains("UnresolvedHint"),
         s"$q must not force a broadcast:\n${lp.take(1500)}")
@@ -142,5 +142,37 @@ class PlanSpec extends SparkSpec {
     val q = Queries.queries("q_gapfill_locf_1h")(spark, dir)
     val p = plan(q)
     assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("gap-fill windows never use a FOLLOWING-anchored frame (those re-scan per row)") {
+    // Spark evaluates UnboundedFollowing frames from scratch for every row
+    // — O(partition²), measured 46 s for the interp query at bench scale;
+    // NOCB must be a running frame over the DESCENDING order instead
+    for (q <- Seq("q_gapfill_locf_1h", "q_gapfill_interp_1h")) {
+      val p = plan(Queries.queries(q)(spark, dir)).toLowerCase
+      assert(!p.contains("unboundedfollowing"),
+        s"$q must not carry an unbounded-following frame:\n${p.take(2000)}")
+    }
+  }
+
+  test("episode SRI is sparse: only the episode-tick Generate, no dense-grid pair, no cartesian") {
+    val q = Queries.queries("q_episode_sri")(spark, dir)
+    val p = plan(q)
+    // exactly two bounded explodes: episode→ticks (dedup input) and the
+    // 2-fan cur/lag sides — never a dense time grid, and never duplicated
+    // copies of the episode explode feeding span/current/lag branches
+    val nGen = p.linesIterator.count(_.contains("Generate "))
+    assert(nGen == 2, s"episode SRI explodes ticks once + 2-fan sides once, got $nGen Generates")
+    assert(!p.contains("Cartesian"), "episode SRI joins must be equi-joins")
+  }
+
+  test("IVF ANN plan: equi-joins only, no cartesian, no pair-dedup aggregate") {
+    val q = Queries.queries("q_ann_ivf")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"IVF candidate generation must stay an equi-join:\n${p.take(2000)}")
+    // a pair meets through exactly ONE list, so unlike the LSH path there
+    // must be NO distinct/dedup aggregate between candidates and verify
+    assert(!p.contains("HashAggregate(keys=[vec_id"), "IVF needs no pair-dedup")
   }
 }
