@@ -195,18 +195,25 @@ object Sri {
       span: DataFrame,
       lagTicks: Int,
       bucketOf: Option[Column => Column]): DataFrame = {
-    val shifted = active.select(col("e"), (col("tick") + lagTicks).as("tick"))
+    // 2-fan form: every active tick matters at two compared positions —
+    // as the CURRENT status at `tick` and as the LAG status at
+    // `tick + lag`; with binary status a compared tick disagrees iff
+    // EXACTLY ONE of the two sides is active there (|sides| = 1; 2 means
+    // both active → agree). One plan branch consumes the active set,
+    // where the earlier anti-join pair re-derived it (raw scan + (e,
+    // tick) aggregate) in four branches — at 100 TB that is the
+    // difference between one input scan and four.
+    val sides = active
+      .select(col("e"), explode(array(col("tick"), col("tick") + lagTicks)).as("tick"))
     val ranged = span.select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
-    def inRange(df: DataFrame): DataFrame = df
-      .join(ranged, Seq("e"))
+    val oneSided = sides.join(ranged, Seq("e"))
       .where(col("tick") >= col("_rlo") && col("tick") <= col("_rhi"))
-      .select(col("e"), col("tick"))
-    val activeOnly = inRange(active).join(shifted, Seq("e", "tick"), "left_anti")
-    val shiftedOnly = inRange(shifted).join(active, Seq("e", "tick"), "left_anti")
-    val both = activeOnly.unionByName(shiftedOnly)
+      .groupBy(col("e"), col("tick"))
+      .agg(count(lit(1)).as("_sides"))
+      .where(col("_sides") === 1)
     val keyed = bucketOf match {
-      case Some(f) => both.groupBy(col("e"), f(col("tick")).as("_bucket"))
-      case None => both.groupBy(col("e"))
+      case Some(f) => oneSided.groupBy(col("e"), f(col("tick")).as("_bucket"))
+      case None => oneSided.groupBy(col("e"))
     }
     keyed.agg(count(lit(1)).as("_disagree"))
   }

@@ -126,16 +126,22 @@ class PlanSpec extends SparkSpec {
     assert(grid.count() == naive.count())
   }
 
-  test("SRI activity score is sparse: NO dense-grid Generate in the plan") {
+  test("SRI activity score is sparse: only the bounded 2-fan Generate, no dense grid") {
     import graft.operators.Sri
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val sri = Sri.activityRegularity(ev, col("user_id"), col("ts"), tickSeconds = 300, lagTicks = 288)
-    val nGen = plan(sri).linesIterator.count(_.contains("Generate "))
-    assert(nGen == 0, s"sparse SRI must not materialize a grid, got $nGen Generates")
-    // bucketed form generates only day-index rows (1 bounded Generate)
+    // exactly ONE Generate: the 2-fan cur/lag sides over the ACTIVE set
+    // (constant fan-out 2 — never a span-sized grid explode); and the
+    // active set must feed one branch, not the old 4-branch anti-join pair
+    val p = plan(sri)
+    val nGen = p.linesIterator.count(_.contains("Generate "))
+    assert(nGen == 1, s"sparse SRI explodes the 2-fan sides once, got $nGen Generates")
+    val nScan = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(nScan <= 3, s"sparse SRI must not re-derive the active set per branch, got $nScan scans")
+    // bucketed form adds only the bucket-index Generate (also bounded)
     val bkt = Sri.activityRegularityBucketed(ev, col("user_id"), col("ts"), 300, 288, 86400L)
     val nGenB = plan(bkt).linesIterator.count(_.contains("Generate "))
-    assert(nGenB == 1, s"bucketed sparse SRI explodes only bucket indices, got $nGenB")
+    assert(nGenB == 2, s"bucketed sparse SRI explodes bucket indices + 2-fan sides, got $nGenB")
   }
 
   test("gap-fill grid join co-partitions (no redundant exchange between join and window)") {
