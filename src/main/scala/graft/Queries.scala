@@ -580,38 +580,52 @@ object Queries {
     // the assembly).
     "q_daily_measures" -> ((
       (s: SparkSession, dir: String) => {
-        import graft.operators.Episodes
+        // SPARK-FIRST FUSION of the reference's join assembly: the R code
+        // computes sleeplogs/awakenings/fragmentation/latency as separate
+        // frames and left-joins them (the oracle below keeps that shape);
+        // all four share ONE window spec and ONE grouping, so the engine
+        // computes the transition flags in a single window pass and every
+        // per-episode stat in a single aggregate — the join assembly
+        // (still exercised by q_join_assembly) disappears from this plan:
+        // 1 scan + 1 window + 2 aggregates, was 5 scans / 4 joins / 14
+        // exchanges. Left-join parity: a group with ZERO qualifying
+        // transition rows produced NO row in the joined frame (NULL after
+        // the left join, skipped by the daily avg), so the fused counts
+        // null out zeros via when(sum > 0, sum).
         val base = Dedup.exact(events(s, dir)).select(
           col("user_id"),
           date_trunc("day", col("ts")).as("day"),
           floor(hour(col("ts")) / 8).cast("int").as("ep"),
           col("ts"), col("event_id"), col("event_type"), col("value"))
         val parts = Seq(col("user_id"), col("day"), col("ep"))
-        val order = Seq(col("ts"), col("event_id"))
-        // sleeplogs_df analog: per-episode start time-of-day + efficiency
-        val eps = base.groupBy(parts: _*).agg(
+        val wSpec = Window.partitionBy(parts: _*).orderBy(col("ts"), col("event_id"))
+        val t1 = (col("value") > 25.0).cast("int")
+        val t2 = (col("event_type") === "purchase").cast("int")
+        val usCol = unix_micros(col("ts").cast("timestamp"))
+        val flagged = base
+          // W1 awakenings flag (reference drop-last rule: the transition
+          // must not lead directly into the group's final row)
+          .withColumn("_awk_f",
+            (t1 === 0 && lead(t1, 1).over(wSpec) === 1
+              && lead(lit(1), 2).over(wSpec).isNotNull).cast("int"))
+          // W2 fragmentation numerator flag (purchase → non-purchase)
+          .withColumn("_out_f", (lag(t2, 1).over(wSpec) === 1 && t2 === 0).cast("int"))
+        val eps = flagged.groupBy(parts: _*).agg(
           min(col("ts")).as("first_ts"),
           avg(col("value")).as("eff"),
-          count(when(col("event_type") === "purchase", 1)).as("p_cnt"))
+          count(when(col("event_type") === "purchase", 1)).as("p_cnt"),
+          sum(col("_awk_f")).as("_awk_sum"),
+          sum(col("_out_f")).as("_out_sum"),
+          // W4 first-purchase latency from episode start, exact integer µs
+          (min(when(col("event_type") === "purchase", usCol)) - min(usCol)).as("latency_us"))
           .withColumn("start_tod_h", Rollup.todHours(col("first_ts")))
-        // W1: awakenings analog (value>25 runs, reference drop-last rule)
-        val awak = Episodes.transitionsInto(base, parts, order, col("value") > 25.0)
-          .withColumnRenamed("n_transitions", "awk")
-        // W2: fragmentation numerator (purchase → non-purchase transitions)
-        val frag = Episodes.transitionsOutOf(base, parts, order, col("event_type") === "purchase")
-          .withColumnRenamed("n_transitions", "n_out")
-        // W4: first-purchase latency from episode start
-        val lat = Episodes.firstMatchLatency(base, parts, col("ts"),
-          from = lit(true), until = col("event_type") === "purchase")
-        val keys = Seq("user_id", "day", "ep")
-        val joined = eps
-          .join(awak, keys, "left")
-          .join(frag, keys, "left")
-          .join(lat, keys, "left")
+          .withColumn("awk", when(col("_awk_sum") > 0, col("_awk_sum")))
           // reference remFragmentationIndex = transitions/(SleepLevelRem/60),
-          // only where the denominator is positive
-          .withColumn("frag", when(col("p_cnt") > 0, col("n_out") / (col("p_cnt") / 60.0)))
-        val daily = joined.groupBy(col("user_id").as("conv_id"), col("day")).agg(
+          // only where the denominator is positive; zero transitions = the
+          // absent-left-join-row case = NULL, not 0
+          .withColumn("frag", when(col("p_cnt") > 0,
+            when(col("_out_sum") > 0, col("_out_sum")) / (col("p_cnt") / 60.0)))
+        val daily = eps.groupBy(col("user_id").as("conv_id"), col("day")).agg(
           MetricRegistry.registry("circular_mean")(col("start_tod_h")).as("start_circ_h"),
           avg(col("eff")).as("eff_mean"),
           avg(col("awk")).as("awak_mean"),
@@ -620,11 +634,11 @@ object Queries {
           // are exact in double), divide once — bit-equal with the oracle,
           // so lat_mean needs NO rounding (a round-6 here hits HALF_UP vs
           // half-even ties: µs-derived values have exact 6-decimal forms)
-          (avg(col("latency_us")) / 1e6).as("lat_mean"))
-        val numEps = eps.groupBy(col("user_id").as("conv_id"), col("day"))
-          .agg(count(lit(1)).as("num_episodes"))
+          (avg(col("latency_us")) / 1e6).as("lat_mean"),
+          // J6 NumEpisodes: same grain as the episode frame — a column of
+          // this aggregate, not a second aggregate + left join
+          count(lit(1)).as("num_episodes"))
         daily
-          .join(numEps, Seq("conv_id", "day"), "left")
           .withColumn("day_name", Scalars.weekdayLabel(col("day")))
           .select(
             col("conv_id"), col("day"), col("day_name"),
@@ -880,27 +894,28 @@ object Queries {
             .select(col("user_id"), col("day")),
           Seq("user_id", "day"), "left_semi")
           .withColumn("week_start", TimeBuckets.weekSunday(col("ts")))
-        val weekly = MetricRegistry.summarize(
-          gated, Seq(col("user_id").as("conv_id"), col("week_start")),
-          Seq("v" -> col("v")), Seq("na_sum", "count", "mean"))
-        val wide = weekly.select(
-          col("conv_id"), col("week_start"),
+        // the weekly day count rides the SAME aggregate as the registry
+        // stats (same grain) — a separate daycount aggregate + unionByName
+        // re-ran the gate join and the weekly shuffle in a second plan
+        // branch (the union form of J9/J10 stays exercised by q_unpivot_1d)
+        val as = MetricRegistry.aggs(Seq("v" -> col("v")), Seq("na_sum", "count", "mean"))
+        val weekly = gated
+          .groupBy(col("user_id").as("conv_id"), col("week_start"))
+          .agg(as.head, (as.tail :+ countDistinct(col("day")).cast("double").as("daycount")): _*)
+        weekly.select(col("conv_id"), col("week_start"),
           round(col("v_na_sum"), 6).as("v_na_sum"),
           col("v_count").cast("double").as("v_count"),
-          round(col("v_mean"), 6).as("v_mean"))
-        val concepts = MetricRegistry
-          .toConceptRows(wide, Seq("conv_id", "week_start"), "summary:weekly:")
-        // J10: ONE weekly day-count row expands into several concept rows
-        val daycount = gated
-          .groupBy(col("user_id").as("conv_id"), col("week_start"))
-          .agg(countDistinct(col("day")).cast("double").as("nval_num"))
-          .select(col("conv_id"), col("week_start"),
-            explode(array(
-              lit("summary:weekly:daycount:v"),
-              lit("adherence:weekly:daycount:v"))).as("concept"),
-            col("nval_num"))
-        concepts.unionByName(daycount)
-          .select(col("conv_id"), col("week_start"), col("concept"), col("nval_num"))
+          round(col("v_mean"), 6).as("v_mean"),
+          col("daycount"))
+          // J10 fan-out: the one daycount value lands under TWO concept
+          // names — two stack slots sharing the column
+          .select(col("conv_id"), col("week_start"), expr(
+            """stack(5,
+              |  'summary:weekly:v_na_sum', v_na_sum,
+              |  'summary:weekly:v_count', v_count,
+              |  'summary:weekly:v_mean', v_mean,
+              |  'summary:weekly:daycount:v', daycount,
+              |  'adherence:weekly:daycount:v', daycount) AS (concept, nval_num)""".stripMargin))
       },
       Some(
         """WITH q AS (
