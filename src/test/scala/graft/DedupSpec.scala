@@ -272,4 +272,25 @@ class DedupSpec extends SparkSpec {
     assert(candidates <= (20.0 / 32 + 0.05) * n * n,
       f"IVF candidates ${candidates}%.0f must respect the n·P/L structural bound")
   }
+
+  test("IVF tolerates malformed embeddings: NaN / null-element / wrong-dim vectors drop out") {
+    // ANSI mode errors on element_at over empty arrays and the NaN argmax
+    // once indexed taken(-1) — both must degrade to "vector probes
+    // nothing", never a job failure
+    val good = (0 until 20).map(i => (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 80.0f)))
+      .toDF("vec_id", "embedding")
+    val bad = spark.sql(
+      """SELECT * FROM VALUES
+        |  (100L, array(cast('NaN' as float), 0.1f, 0.2f, 0.3f)),
+        |  (101L, array(cast(null as float), 0.1f, 0.2f, 0.3f)),
+        |  (102L, array(0.1f, 0.2f))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val ann = Similarity.ivfTopK(good.unionByName(bad), $"vec_id", $"embedding",
+      k = 3, nLists = 4, nProbe = 4, lloydIters = 1)
+    val ids = ann.select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ >= 100L), s"malformed vectors must not appear as queries: $ids")
+    assert(ann.where($"neighbour_id" >= 100L).count() == 0,
+      "malformed vectors must not appear as neighbours")
+    assert(ids.nonEmpty, "well-formed vectors still get neighbours")
+  }
 }
