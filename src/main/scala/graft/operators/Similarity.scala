@@ -219,12 +219,21 @@ object Similarity {
       val u = if (n == 0) v else v.map(_ / n)
       u.map(x => math.rint(x * 1e6) / 1e6)
     }
-    // deterministic hash-seeded centroids (metadata-scale collect)
-    val seedRows = vecs.orderBy(xxhash64(col("id")), col("id")).limit(nLists)
+    // deterministic hash-seeded centroids (metadata-scale collect). The
+    // seed sample is SANITIZED: a null-element or NaN embedding chosen as
+    // a seed would crash the driver-side normalize (or poison every dot
+    // with NaN), and IvfProbes validates rows only against cents(0)'s
+    // length, so all centroids must share one dimensionality — taken as
+    // the majority size of the sample (ties → smaller), matching the
+    // data-side drop-out rule for mixed-dim vectors.
+    val seedRows = vecs
+      .where(!exists(col("e"), x => x.isNull || isnan(x.cast("double"))))
+      .orderBy(xxhash64(col("id")), col("id")).limit(nLists)
       .select(col("e")).collect()
-    require(seedRows.nonEmpty, "ivfTopK: input has no rows")
-    var cents: Array[Array[Double]] = seedRows.map(r => normQuant(toVec(r.get(0))))
-    val dims = cents(0).length
+    require(seedRows.nonEmpty, "ivfTopK: input has no well-formed rows")
+    val seedVecs = seedRows.map(r => toVec(r.get(0)))
+    val dims = seedVecs.groupBy(_.length).maxBy { case (len, vs) => (vs.length, -len) }._1
+    var cents: Array[Array[Double]] = seedVecs.filter(_.length == dims).map(normQuant)
     val probes = math.min(nProbe, cents.length)
 
     (1 to lloydIters).foreach { _ =>

@@ -84,38 +84,64 @@ object Sri {
     val deduped = dedupedEpisodeTicks(episodes, entity, start, end, status, srcOrder, tickSeconds)
     // span straight from the EPISODES (no explode, no dedup): keep-last
     // changes which status a tick carries, never which ticks exist, so
-    // [min start-tick, max end-tick] is the deduped span — and deriving it
+    // the deduped span equals the episode tick-bound span — deriving it
     // here keeps the expensive explode+dedup subtree out of the span's
-    // (reused) plan branches
+    // (reused) plan branches. Tick-explode parity: an episode with a NULL
+    // start or end yields NO ticks (sequence(null, ...) is null → Generate
+    // drops the row) and must not stretch the span either; an INVERTED
+    // episode (end < start) yields the descending sequence's tick set, so
+    // its span contribution is [least, greatest].
+    val ta = tickOf(start, tickSeconds)
+    val tb = tickOf(end, tickSeconds)
     val span = episodes
+      .where(ta.isNotNull && tb.isNotNull)
       .groupBy(entity.as("e"))
-      .agg(min(tickOf(start, tickSeconds)).as("lo"), max(tickOf(end, tickSeconds)).as("hi"))
+      .agg(min(least(ta, tb)).as("lo"), max(greatest(ta, tb)).as("hi"))
       .where(col("hi") - col("lo") >= lagTicks)
     val support = deduped.where(col("st") =!= lit(fillStatus))
-    // ONE pass over the support instead of a full-outer self-join (whose
-    // two branches would each re-run the explode+dedup): every support
-    // tick matters at two compared positions — as the CURRENT value at
-    // `tick` and as the LAG value at `tick + lag` — so a 2-fan explode +
-    // (e, tick) aggregate reconstructs both sides of the comparison
+    val ranged = span.select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
+    val dis = lagDisagreements(support, ranged, lagTicks, fillStatus, bucketOf = None)
+    span.join(dis, Seq("e"), "left")
+      .withColumn("_t", col("hi") - col("lo") + 1 - lagTicks)
+      .withColumn("_d", coalesce(col("_disagree"), lit(0L)))
+      .select(col("e").as("conv_id"),
+        (lit(200.0) * (col("_t") - col("_d")) / col("_t") - 100.0).as("sri"))
+  }
+
+  /** Shared sparse lag-disagreement core: count compared ticks where a
+    * keyed status series disagrees with its own +lag shift, gaps reading
+    * as `fillStatus`. ONE pass over the sparse `support` (e, tick, st)
+    * instead of a full-outer self-join (whose two branches would each
+    * re-derive the support's subtree): every support tick matters at two
+    * compared positions — as the CURRENT value at `tick` and as the LAG
+    * value at `tick + lag` — so a constant 2-fan explode plus an
+    * (e, tick) aggregate reconstructs both sides of every comparison that
+    * can possibly disagree (everywhere else both sides are `fillStatus`).
+    * `ranged` = (e, _rlo, _rhi) clips to the compared range; `bucketOf`
+    * groups the disagreement counts by a tick bucket (daily SRI series). */
+  private def lagDisagreements(
+      support: DataFrame,
+      ranged: DataFrame,
+      lagTicks: Int,
+      fillStatus: Int,
+      bucketOf: Option[Column => Column]): DataFrame = {
     val sides = support.select(col("e"), explode(array(
         struct(col("tick"), col("st").as("v"), lit(1).as("is_cur")),
         struct((col("tick") + lagTicks).as("tick"), col("st").as("v"), lit(0).as("is_cur"))
       )).as("s"))
       .select(col("e"), col("s.tick").as("tick"), col("s.v").as("v"), col("s.is_cur").as("is_cur"))
-    val ranged = span.select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
-    val dis = sides.join(ranged, Seq("e"))
+    val perTick = sides.join(ranged, Seq("e"))
       .where(col("tick") >= col("_rlo") && col("tick") <= col("_rhi"))
       .groupBy(col("e"), col("tick"))
       .agg(
         max(when(col("is_cur") === 1, col("v"))).as("_stc"),
         max(when(col("is_cur") === 0, col("v"))).as("_stp"))
       .where(coalesce(col("_stc"), lit(fillStatus)) =!= coalesce(col("_stp"), lit(fillStatus)))
-      .groupBy(col("e")).agg(count(lit(1)).as("_disagree"))
-    span.join(dis, Seq("e"), "left")
-      .withColumn("_t", col("hi") - col("lo") + 1 - lagTicks)
-      .withColumn("_d", coalesce(col("_disagree"), lit(0L)))
-      .select(col("e").as("conv_id"),
-        (lit(200.0) * (col("_t") - col("_d")) / col("_t") - 100.0).as("sri"))
+    val keyed = bucketOf match {
+      case Some(f) => perTick.groupBy(col("e"), f(col("tick")).as("_bucket"))
+      case None => perTick.groupBy(col("e"))
+    }
+    keyed.agg(count(lit(1)).as("_disagree"))
   }
 
   /** Epoch tick index of a timestamp column (UTC session ⇒ lossless). */
@@ -195,27 +221,13 @@ object Sri {
       span: DataFrame,
       lagTicks: Int,
       bucketOf: Option[Column => Column]): DataFrame = {
-    // 2-fan form: every active tick matters at two compared positions —
-    // as the CURRENT status at `tick` and as the LAG status at
-    // `tick + lag`; with binary status a compared tick disagrees iff
-    // EXACTLY ONE of the two sides is active there (|sides| = 1; 2 means
-    // both active → agree). One plan branch consumes the active set,
-    // where the earlier anti-join pair re-derived it (raw scan + (e,
-    // tick) aggregate) in four branches — at 100 TB that is the
-    // difference between one input scan and four.
-    val sides = active
-      .select(col("e"), explode(array(col("tick"), col("tick") + lagTicks)).as("tick"))
+    // the binary-activity instantiation of the shared 2-fan core: status 1
+    // on active ticks, fill 0 elsewhere — a compared tick disagrees iff
+    // exactly one side is active (the old anti-join pair consumed the
+    // active set from four plan branches; the core uses one)
     val ranged = span.select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
-    val oneSided = sides.join(ranged, Seq("e"))
-      .where(col("tick") >= col("_rlo") && col("tick") <= col("_rhi"))
-      .groupBy(col("e"), col("tick"))
-      .agg(count(lit(1)).as("_sides"))
-      .where(col("_sides") === 1)
-    val keyed = bucketOf match {
-      case Some(f) => oneSided.groupBy(col("e"), f(col("tick")).as("_bucket"))
-      case None => oneSided.groupBy(col("e"))
-    }
-    keyed.agg(count(lit(1)).as("_disagree"))
+    lagDisagreements(active.withColumn("st", lit(1)), ranged, lagTicks,
+      fillStatus = 0, bucketOf = bucketOf)
   }
 
   /** Bucketed variant of activityRegularity (e.g. daily/weekly SRI series):

@@ -14,12 +14,19 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.Queries.queries(name)(spark, dir)
-    df.write.mode("overwrite").format("noop").save() // finalize AQE
+    // the action must run THROUGH this Dataset's own QueryExecution (a
+    // df.write would build a fresh one, leaving THIS plan un-executed and
+    // the AQE-final shape — reuse, coalesced exchanges — invisible); then
+    // read only the final-plan section
+    df.foreach(_ => ())
     val p = df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
     val interesting = Seq("Scan parquet", "Exchange", "ReusedExchange", "Generate ",
       "Window", "Sort ", "HashAggregate", "SortMergeJoin", "BroadcastHashJoin", "Cartesian")
     interesting.foreach { k =>
-      val n = p.linesIterator.count(_.contains(k))
+      val n =
+        if (k == "Exchange") p.linesIterator.count(l => l.contains(k) && !l.contains("Reused"))
+        else p.linesIterator.count(_.contains(k))
       if (n > 0) println(f"[plan] $name: $k%-18s x$n")
     }
     if (args.length > 2 && args(2) == "full") println(p)

@@ -285,8 +285,12 @@ class DedupSpec extends SparkSpec {
         |  (101L, array(cast(null as float), 0.1f, 0.2f, 0.3f)),
         |  (102L, array(0.1f, 0.2f))
         |AS t(vec_id, embedding)""".stripMargin)
+    // nLists > corpus size: EVERY vector (incl. the malformed ones) falls
+    // inside the seed-sample window, so the seeding path must sanitize —
+    // an unfiltered NaN seed poisons all dots, a short seed breaks the
+    // uniform-centroid-dims contract
     val ann = Similarity.ivfTopK(good.unionByName(bad), $"vec_id", $"embedding",
-      k = 3, nLists = 4, nProbe = 4, lloydIters = 1)
+      k = 3, nLists = 30, nProbe = 4, lloydIters = 1)
     val ids = ann.select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
     assert(!ids.exists(_ >= 100L), s"malformed vectors must not appear as queries: $ids")
     assert(ann.where($"neighbour_id" >= 100L).count() == 0,

@@ -131,9 +131,11 @@ class ReferenceParitySpec extends SparkSpec {
       ("c1", "2025-01-01 06:00:00", "2025-01-01 08:00:00", 0, 2), // override to fill
       ("c1", "2025-01-02 02:00:00", "2025-01-02 08:00:00", 1, 3),
       ("c1", "2025-01-02 23:00:00", "2025-01-02 23:30:00", 0, 4), // fill episode stretches span
+      ("c1", "2025-01-02 23:45:00", null, 1, 5), // null end: NO ticks, must not stretch the span
       ("c2", "2025-01-01 00:00:00", "2025-01-01 04:00:00", 2, 1), // multi-valued status
       ("c2", "2025-01-02 00:00:00", "2025-01-02 04:00:00", 1, 2),
       ("c2", "2025-01-02 01:00:00", "2025-01-02 03:00:00", 2, 3),
+      ("c2", "2025-01-02 05:00:00", "2025-01-02 04:30:00", 1, 4), // INVERTED: descending sequence ticks
       ("c3", "2025-01-01 00:00:00", "2025-01-01 01:00:00", 1, 1)) // span < lag
       .toDF("conv_id", "start", "end", "status", "src")
       .select($"conv_id", to_timestamp($"start").as("start"), to_timestamp($"end").as("end"), $"status", $"src")
