@@ -80,7 +80,7 @@ object Bench {
     var spark = session(cpus)
     if (!Files.exists(Paths.get(inputPath, "_SUCCESS"))) {
       TranscriptGen.turns(spark, nConvs = benchConvs.toLong, meanTurns = 250)
-        .toDF.write.mode("overwrite").parquet(inputPath)
+        .toDF().write.mode("overwrite").parquet(inputPath)
     }
     val nTurns = spark.read.parquet(inputPath).count()
 

@@ -16,7 +16,7 @@ object SparkEntry {
     * from the mergeable stat blocks). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
-    val turns = TranscriptGen.withMeasures(TranscriptGen.turns(spark, nConvs = 50L).toDF)
+    val turns = TranscriptGen.withMeasures(TranscriptGen.turns(spark, nConvs = 50L).toDF())
     val source = graft.sources.IceTable(s"$root/raw")
     source.append(turns, "ts")
     val tiers = graft.operators.TierStore.build(spark, source, s"$root/tiers", col("text_len"))

@@ -128,7 +128,7 @@ object Multimodal {
   /** Media metadata rollup — joins tier machinery through metadata, not
     * bytes: bytes stay columnar-pruned away (ReadSchema excludes them). */
   def metadataStats(media: Dataset[MediaRow]): DataFrame =
-    media.toDF.groupBy(col("kind")).agg(
+    media.toDF().groupBy(col("kind")).agg(
       count(lit(1)).as("n"),
       avg(col("duration_ms")).as("avg_duration_ms"),
       avg(col("width") * col("height")).as("avg_pixels"))

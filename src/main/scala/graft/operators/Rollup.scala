@@ -201,7 +201,7 @@ object Rollup {
       measure: Column,
       interval: String): org.apache.spark.sql.Dataset[graft.model.TierRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[graft.model.TierRow]
-    rollupRaw(turns.toDF, col("conv_id"), col("ts"), measure, interval).as[graft.model.TierRow]
+    rollupRaw(turns.toDF(), col("conv_id"), col("ts"), measure, interval).as[graft.model.TierRow]
   }
 
   /** Full cascade from raw: returns (tier1m, tier1h, tier1d). Callers should

@@ -16,7 +16,7 @@ object CopartProbe {
     // then the default cascade — how many exchanges total?
     import graft.operators.Rollup
     import graft.sources.TranscriptGen
-    val turns = TranscriptGen.turns(spark, nConvs = 30L, withDuplicates = false).toDF
+    val turns = TranscriptGen.turns(spark, nConvs = 30L, withDuplicates = false).toDF()
     val raw = TranscriptGen.withMeasures(turns)
     val (_, _, t1d) = Rollup.cascade(raw, col("conv_id"), col("ts"), col("text_len"))
     t1d.collect()
