@@ -68,6 +68,52 @@ object Queries {
   private val todHoursDuck =
     "(floor((epoch_us(ts) % 86400000000) / 1000000) / 3600.0)"
 
+  /** Shared daily stage of the sleepSD flagship (anchor → retention →
+    * per-(entity, day) circular SD of time-of-day, quantized to MICRO-HOUR
+    * integers): consumed by q_sleepsd_windows (window stats on top) and
+    * q_sleepsd_daily (the bisection row). The micro-hour quantization is
+    * the bit-stability boundary — everything downstream is exact-integer
+    * or a fixed FP op sequence over exact integers (see the flagship's
+    * comment). */
+  private def sleepSdDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val day = date_trunc("day", col("ts"))
+    val anchors = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "purchase", day)).as("a1"),
+      min(when(col("event_type") === "click", day)).as("a2"))
+      .select(col("user_id"),
+        least(coalesce(col("a1"), col("a2")), coalesce(col("a2"), col("a1"))).as("anchor"))
+    // per-entity anchors are unbounded — hint-free join, AQE decides
+    val ret = ev.join(anchors, Seq("user_id"))
+      .where(day >= col("anchor") + expr("INTERVAL 2 DAY"))
+    ret
+      .groupBy(col("user_id").as("conv_id"), day.as("day"))
+      .agg(round(MetricRegistry.registry("circular_sd")(Rollup.todHours(col("ts"))) * lit(1e6))
+        .cast("long").as("circ_us"))
+      .select(col("conv_id"),
+        (unix_timestamp(col("day").cast("timestamp")) / 86400).cast("long").as("day_idx"),
+        col("circ_us"))
+  }
+
+  /** DuckDB mirror of [[sleepSdDaily]] — CTE bodies ending in `d` (splice
+    * as `WITH $sleepSdDailySql, …`). */
+  private val sleepSdDailySql: String =
+    s"""a AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END) AS a1,
+       |    min(CASE WHEN event_type = 'click' THEN date_trunc('day', ts) END) AS a2
+       |  FROM events GROUP BY 1),
+       |an AS (SELECT user_id, least(coalesce(a1, a2), coalesce(a2, a1)) AS anchor FROM a),
+       |r AS (
+       |  SELECT e.user_id, e.ts FROM events e JOIN an USING (user_id)
+       |  WHERE date_trunc('day', e.ts) >= an.anchor + INTERVAL 2 DAY),
+       |d AS (
+       |  SELECT user_id AS conv_id,
+       |    epoch(date_trunc('day', ts)) // 86400 AS day_idx,
+       |    CAST(round(sqrt(-2.0 * ln(least(sqrt(avg(sin(2*pi()*$todHoursDuck/24.0))^2
+       |      + avg(cos(2*pi()*$todHoursDuck/24.0))^2), 1.0))) * (24.0 / (2*pi())) * 1000000.0) AS BIGINT) AS circ_us
+       |  FROM r GROUP BY 1, 2)""".stripMargin
+
   // ------------------------------------------------- core timeseries queries
 
   private val core: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -161,30 +207,41 @@ object Queries {
 
     // F1/F2 sliding windows over the daily tier + completeness filter
     // (reference period_dt==21/182 → here: exact 3-calendar-day coverage).
+    // The daily mean is quantized to MICRO-UNIT integers and the window
+    // stats derive from exact-integer windowed Σ/Σx² (order-insensitive in
+    // any engine; see q_sleepsd_windows — this query shared its latent
+    // `stddev_samp`-over-windowed-doubles fragility).
     "q_sliding_3d" -> ((
       (s: SparkSession, dir: String) => {
         val daily = Rollup
           .finalized(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day"))
-          .select(col("conv_id"), col("bucket_start"), col("mean"))
+          .select(col("conv_id"), col("bucket_start"),
+            round(col("mean") * lit(1e6)).cast("long").as("m_us"))
         Sliding
-          .slidingStats(daily, col("conv_id"), col("bucket_start"), 86400L, 3, Seq("m" -> col("mean")))
+          .slidingStatsExact(daily, col("conv_id"), col("bucket_start"), 86400L, 3,
+            Seq("m" -> col("m_us")))
           .select(
-            col("conv_id"),
-            col("bucket_start"),
-            round(col("m_mean"), 6).as("mean3"),
-            round(col("m_sd"), 6).as("sd3"))
+            col("conv_id"), col("bucket_start"), col("m_us"),
+            col("m_mean").as("mean3_us"),
+            col("m_sd").as("sd3_us"))
       },
       Some(
         """WITH d AS (
-          |  SELECT user_id AS conv_id, date_trunc('day', ts) AS bucket_start, avg(value) AS m
-          |  FROM events GROUP BY 1, 2)
-          |SELECT conv_id, bucket_start,
-          |  round(avg(m) OVER w3, 6) AS mean3,
-          |  round(stddev_samp(m) OVER w3, 6) AS sd3
-          |FROM d
-          |WINDOW w3 AS (PARTITION BY conv_id ORDER BY bucket_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-          |       wo AS (PARTITION BY conv_id ORDER BY bucket_start)
-          |QUALIFY lag(bucket_start, 2) OVER wo = bucket_start - INTERVAL 2 DAY""".stripMargin))),
+          |  SELECT user_id AS conv_id, date_trunc('day', ts) AS bucket_start,
+          |    CAST(round(avg(value) * 1000000.0) AS BIGINT) AS m_us
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT conv_id, bucket_start, m_us,
+          |    count(*) OVER w3 AS n3,
+          |    CAST(sum(m_us) OVER w3 AS BIGINT) AS s,
+          |    CAST(sum(m_us * m_us) OVER w3 AS BIGINT) AS q
+          |  FROM d
+          |  WINDOW w3 AS (PARTITION BY conv_id ORDER BY epoch(bucket_start) // 86400
+          |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW))
+          |SELECT conv_id, bucket_start, m_us,
+          |  CAST(s AS DOUBLE) / 3.0 AS mean3_us,
+          |  sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS sd3_us
+          |FROM w WHERE n3 = 3""".stripMargin))),
 
     // A15 full SRI epoch-grid pipeline: dense 5-min tick grid per entity,
     // activity status, 1-day (288-tick) lag agreement (functions/sri.R).
@@ -264,28 +321,33 @@ object Queries {
       (s: SparkSession, dir: String) => {
         val daily = Rollup
           .finalized(Rollup.rollupRaw(events(s, dir), col("user_id"), col("ts"), col("value"), "1 day"))
-          .select(col("conv_id"), col("bucket_start"), col("mean"))
+          .select(col("conv_id"), col("bucket_start"),
+            round(col("mean") * lit(1e6)).cast("long").as("m_us"))
         Sliding
-          .slidingStats(daily, col("conv_id"), col("bucket_start"), 86400L, 26, Seq("m" -> col("mean")))
+          .slidingStatsExact(daily, col("conv_id"), col("bucket_start"), 86400L, 26,
+            Seq("m" -> col("m_us")))
           .select(
-            col("conv_id"),
-            col("bucket_start"),
-            round(col("m_mean"), 6).as("mean26"),
-            round(col("m_sd"), 6).as("sd26"))
+            col("conv_id"), col("bucket_start"), col("m_us"),
+            col("m_mean").as("mean26_us"),
+            col("m_sd").as("sd26_us"))
       },
       Some(
         """WITH d AS (
-          |  SELECT user_id AS conv_id, date_trunc('day', ts) AS bucket_start, avg(value) AS m
-          |  FROM events GROUP BY 1, 2)
-          |SELECT conv_id, bucket_start,
-          |  round(avg(m) OVER w26, 6) AS mean26,
-          |  round(stddev_samp(m) OVER w26, 6) AS sd26
-          |FROM d
-          |WINDOW w26 AS (PARTITION BY conv_id ORDER BY bucket_start
-          |  RANGE BETWEEN INTERVAL 25 DAY PRECEDING AND CURRENT ROW),
-          |       wc AS (PARTITION BY conv_id ORDER BY bucket_start
-          |  RANGE BETWEEN INTERVAL 25 DAY PRECEDING AND CURRENT ROW)
-          |QUALIFY count(*) OVER wc = 26""".stripMargin))),
+          |  SELECT user_id AS conv_id, date_trunc('day', ts) AS bucket_start,
+          |    CAST(round(avg(value) * 1000000.0) AS BIGINT) AS m_us
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT conv_id, bucket_start, m_us,
+          |    count(*) OVER w26 AS n26,
+          |    CAST(sum(m_us) OVER w26 AS BIGINT) AS s,
+          |    CAST(sum(m_us * m_us) OVER w26 AS BIGINT) AS q
+          |  FROM d
+          |  WINDOW w26 AS (PARTITION BY conv_id ORDER BY epoch(bucket_start) // 86400
+          |    RANGE BETWEEN 25 PRECEDING AND CURRENT ROW))
+          |SELECT conv_id, bucket_start, m_us,
+          |  CAST(s AS DOUBLE) / 26.0 AS mean26_us,
+          |  sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 26.0) / 25.0, 0.0)) AS sd26_us
+          |FROM w WHERE n26 = 26""".stripMargin))),
 
     // W6/A15 SRI-style lag-agreement score (reference 2880-epoch self-lag).
     "q_sri_lag10" -> ((
@@ -764,10 +826,14 @@ object Queries {
     // text round-trips bit-exactly via shortest-roundtrip rendering).
     "q_csv_roundtrip" -> ((
       (s: SparkSession, dir: String) => {
-        // fixed per-sf path + overwrite (matches the /tmp/graft_bench_*
-        // caching convention) — createTempDirectory leaked a full CSV copy
-        // of events per invocation across Bench×2 + Verify runs
-        val out = s"/tmp/graft_csv_rt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        // fixed per-(sf, PROCESS) path + overwrite (matches the
+        // /tmp/graft_bench_* caching convention) — createTempDirectory
+        // leaked a full CSV copy of events per invocation, while a purely
+        // per-sf path let two concurrent JVMs (Bench overlapping Verify)
+        // race one's overwrite-write against the other's re-read; the pid
+        // component keeps reuse within a process and isolation across them
+        val out = s"/tmp/graft_csv_rt_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"_p${ProcessHandle.current().pid()}"
         events(s, dir)
           .select(col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").option("header", true).csv(out)
@@ -803,18 +869,28 @@ object Queries {
 
     // F3: sliding SRI — daily SRI series (bucketed lag-agreement) composed
     // with the 3-bucket sliding window + completeness filter
-    // (sri.R:96-121,181-195).
+    // (sri.R:96-121,181-195). Bit-stable by construction: the daily score
+    // is an EXACT micro-unit integer derived from the operator's integer
+    // (compared, disagree) counts — sri_us = floor(1e8·(t−2d)/t), the
+    // micro form of 200·(t−d)/t − 100, where the double-division floor is
+    // exact (|1e8·(t−2d)| < 2^53 and the fractional part ≥ 1/t dwarfs the
+    // division's rounding error) — and the window stats come from exact
+    // integer Σ/Σx² (see q_sleepsd_windows for the failure mode this
+    // construction removes).
     "q_sri_daily_sliding" -> ((
       (s: SparkSession, dir: String) => {
-        val daily = Sri.activityRegularityBucketed(events(s, dir), col("user_id"), col("ts"),
+        val daily = Sri.activityRegularityBucketedCounts(events(s, dir), col("user_id"), col("ts"),
           tickSeconds = 300, lagTicks = 288, bucketSeconds = 86400L)
-        Sliding.slidingStats(daily, col("conv_id"), col("bucket_start"), 86400L, 3,
-          Seq("sri" -> col("sri")))
+          .select(col("conv_id"), col("bucket_start"),
+            floor((lit(100000000L) * (col("cmp_ticks") - lit(2L) * col("disagree"))).cast("double")
+              / col("cmp_ticks")).cast("long").as("sri_us"))
+        Sliding.slidingStatsExact(daily, col("conv_id"), col("bucket_start"), 86400L, 3,
+          Seq("sri" -> col("sri_us")))
           .select(col("conv_id"),
             (unix_timestamp(col("bucket_start")) / 86400).cast("long").as("day_idx"),
-            round(col("sri"), 6).as("sri"),
-            round(col("sri_mean"), 6).as("sri3_mean"),
-            round(col("sri_sd"), 6).as("sri3_sd"))
+            col("sri_us"),
+            col("sri_mean").as("sri3_mean_us"),
+            col("sri_sd").as("sri3_sd_us"))
       },
       Some(
         """WITH act AS (
@@ -830,15 +906,24 @@ object Queries {
           |  FROM st),
           |daily AS (
           |  SELECT user_id AS conv_id, (tick * 300) // 86400 AS day_idx,
-          |    200.0 * avg((status = prev)::int) - 100.0 AS sri
-          |  FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2)
-          |SELECT conv_id, day_idx, round(sri, 6) AS sri,
-          |  round(avg(sri) OVER w, 6) AS sri3_mean,
-          |  round(stddev_samp(sri) OVER w, 6) AS sri3_sd
-          |FROM daily
-          |WINDOW w AS (PARTITION BY conv_id ORDER BY day_idx
-          |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
-          |QUALIFY count(*) OVER w = 3""".stripMargin))),
+          |    count(*) AS t, sum((status <> prev)::int) AS d
+          |  FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2),
+          |di AS (
+          |  SELECT conv_id, day_idx,
+          |    CAST(floor(CAST(100000000 * (t - 2*d) AS DOUBLE) / t) AS BIGINT) AS sri_us
+          |  FROM daily),
+          |w AS (
+          |  SELECT conv_id, day_idx, sri_us,
+          |    count(*) OVER ws AS n,
+          |    CAST(sum(sri_us) OVER ws AS BIGINT) AS s,
+          |    CAST(sum(sri_us * sri_us) OVER ws AS BIGINT) AS q
+          |  FROM di
+          |  WINDOW ws AS (PARTITION BY conv_id ORDER BY day_idx
+          |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW))
+          |SELECT conv_id, day_idx, sri_us,
+          |  CAST(s AS DOUBLE) / 3.0 AS sri3_mean_us,
+          |  sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS sri3_sd_us
+          |FROM w WHERE n = 3""".stripMargin))),
 
     // Gap-based conversation sessionization (session_window built-in):
     // events of one user within 30min of the previous event form a session;
@@ -1079,53 +1164,64 @@ object Queries {
     // exact-completeness rule (period_dt==21/182 → here count==width;
     // incomplete windows yield NULL, not dropped rows, so both widths live
     // in one result).
+    //
+    // BIT-STABLE BY CONSTRUCTION: the daily circular SD is quantized to
+    // MICRO-HOUR integers (cast(round(x·1e6) as bigint) on both sides),
+    // and the window stats derive from exact-integer windowed Σ and Σx² —
+    // order-insensitive in ANY engine — with the only FP ops a fixed final
+    // division/sqrt sequence over those identical integers (3·q−s² ≥ 0 by
+    // Cauchy-Schwarz on exact ints, so the sqrt needs no guard). Two
+    // consecutive rounds failed the driver's hash on this query while
+    // being bit-identical under local DuckDB 1.0.0: windowed avg /
+    // stddev_samp over doubles is summation-order- and algorithm-dependent
+    // across DuckDB versions, and the stddev's cancellation amplifies the
+    // last-ulp disagreement past 6-decimal rounding. Integer-domain window
+    // sums remove the order dependence entirely.
     "q_sleepsd_windows" -> ((
       (s: SparkSession, dir: String) => {
-        val ev = events(s, dir)
-        val day = date_trunc("day", col("ts"))
-        val anchors = ev.groupBy(col("user_id")).agg(
-          min(when(col("event_type") === "purchase", day)).as("a1"),
-          min(when(col("event_type") === "click", day)).as("a2"))
-          .select(col("user_id"),
-            least(coalesce(col("a1"), col("a2")), coalesce(col("a2"), col("a1"))).as("anchor"))
-        // per-entity anchors are unbounded — hint-free join, AQE decides
-        val ret = ev.join(anchors, Seq("user_id"))
-          .where(day >= col("anchor") + expr("INTERVAL 2 DAY"))
-        val daily = ret
-          .groupBy(col("user_id").as("conv_id"), day.as("day"))
-          .agg(round(MetricRegistry.registry("circular_sd")(Rollup.todHours(col("ts"))), 6).as("circ_sd"))
-          .withColumn("day_idx", (unix_timestamp(col("day").cast("timestamp")) / 86400).cast("long"))
+        val daily = sleepSdDaily(s, dir)
         val w3 = Window.partitionBy(col("conv_id")).orderBy(col("day_idx")).rangeBetween(-2, 0)
         val w26 = Window.partitionBy(col("conv_id")).orderBy(col("day_idx")).rangeBetween(-25, 0)
         daily.select(
-          col("conv_id"), col("day_idx"), col("circ_sd"),
-          when(count(lit(1)).over(w3) === 3, round(avg(col("circ_sd")).over(w3), 6)).as("sd3_mean"),
-          when(count(lit(1)).over(w3) === 3, round(stddev_samp(col("circ_sd")).over(w3), 6)).as("sd3_sd"),
-          when(count(lit(1)).over(w26) === 26, round(avg(col("circ_sd")).over(w26), 6)).as("sd26_mean"))
+          col("conv_id"), col("day_idx"), col("circ_us"),
+          count(lit(1)).over(w3).as("_n3"),
+          sum(col("circ_us")).over(w3).as("_s3"),
+          sum(col("circ_us") * col("circ_us")).over(w3).as("_q3"),
+          count(lit(1)).over(w26).as("_n26"),
+          sum(col("circ_us")).over(w26).as("_s26"))
+          .select(
+            col("conv_id"), col("day_idx"), col("circ_us"),
+            when(col("_n3") === 3, col("_s3").cast("double") / lit(3.0)).as("sd3_mean_us"),
+            when(col("_n3") === 3,
+              sqrt((lit(3L) * col("_q3") - col("_s3") * col("_s3")).cast("double") / lit(6.0)))
+              .as("sd3_sd_us"),
+            when(col("_n26") === 26, col("_s26").cast("double") / lit(26.0)).as("sd26_mean_us"))
       },
       Some(
-        s"""WITH a AS (
-           |  SELECT user_id,
-           |    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END) AS a1,
-           |    min(CASE WHEN event_type = 'click' THEN date_trunc('day', ts) END) AS a2
-           |  FROM events GROUP BY 1),
-           |an AS (SELECT user_id, least(coalesce(a1, a2), coalesce(a2, a1)) AS anchor FROM a),
-           |r AS (
-           |  SELECT e.user_id, e.ts FROM events e JOIN an USING (user_id)
-           |  WHERE date_trunc('day', e.ts) >= an.anchor + INTERVAL 2 DAY),
-           |d AS (
-           |  SELECT user_id AS conv_id,
-           |    epoch(date_trunc('day', ts)) // 86400 AS day_idx,
-           |    round(sqrt(-2.0 * ln(least(sqrt(avg(sin(2*pi()*$todHoursDuck/24.0))^2
-           |      + avg(cos(2*pi()*$todHoursDuck/24.0))^2), 1.0))) * 24.0 / (2*pi()), 6) + 0.0 AS circ_sd
-           |  FROM r GROUP BY 1, 2)
-           |SELECT conv_id, day_idx, circ_sd,
-           |  CASE WHEN count(*) OVER w3 = 3 THEN round(avg(circ_sd) OVER w3, 6) + 0.0 END AS sd3_mean,
-           |  CASE WHEN count(*) OVER w3 = 3 THEN round(stddev_samp(circ_sd) OVER w3, 6) + 0.0 END AS sd3_sd,
-           |  CASE WHEN count(*) OVER w26 = 26 THEN round(avg(circ_sd) OVER w26, 6) + 0.0 END AS sd26_mean
-           |FROM d
-           |WINDOW w3 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
-           |       w26 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""".stripMargin))),
+        s"""WITH $sleepSdDailySql,
+           |w AS (
+           |  SELECT conv_id, day_idx, circ_us,
+           |    count(*) OVER w3 AS n3,
+           |    CAST(sum(circ_us) OVER w3 AS BIGINT) AS s3,
+           |    CAST(sum(circ_us * circ_us) OVER w3 AS BIGINT) AS q3,
+           |    count(*) OVER w26 AS n26,
+           |    CAST(sum(circ_us) OVER w26 AS BIGINT) AS s26
+           |  FROM d
+           |  WINDOW w3 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+           |         w26 AS (PARTITION BY conv_id ORDER BY day_idx RANGE BETWEEN 25 PRECEDING AND CURRENT ROW))
+           |SELECT conv_id, day_idx, circ_us,
+           |  CASE WHEN n3 = 3 THEN CAST(s3 AS DOUBLE) / 3.0 END AS sd3_mean_us,
+           |  CASE WHEN n3 = 3 THEN sqrt(CAST(3 * q3 - s3 * s3 AS DOUBLE) / 6.0) END AS sd3_sd_us,
+           |  CASE WHEN n26 = 26 THEN CAST(s26 AS DOUBLE) / 26.0 END AS sd26_mean_us
+           |FROM w""".stripMargin))),
+
+    // Bisection row for the flagship above: JUST the anchored-retention
+    // daily circular SD in micro-hours (the window stage stripped away) —
+    // if the flagship ever goes hash-red again, this row tells the next
+    // builder WHICH stage diverged (daily aggregate vs window machinery).
+    "q_sleepsd_daily" -> ((
+      (s: SparkSession, dir: String) => sleepSdDaily(s, dir),
+      Some(s"WITH $sleepSdDailySql SELECT conv_id, day_idx, circ_us FROM d"))),
 
     // P4 any-non-empty-string row filter (daily-measures.R:113,132,169):
     // rows survive iff ANY of the candidate columns is a non-NULL,

@@ -204,9 +204,9 @@ object Similarity {
       nProbe: Int,
       lloydIters: Int): (DataFrame, DataFrame, DataFrame) = {
     import graft.plans.IvfProbes.ivfProbes
-    // one scan of the source feeds the seed pass, every Lloyd iteration,
-    // and the three downstream frames (index/probe/verify) — without the
-    // persist each of those re-read and re-shuffled the input
+    // one scan of the source feeds the seed pass and every Lloyd
+    // iteration (1 + lloydIters driver actions); released right after the
+    // last collect below — the downstream frames re-scan the source
     val vecs = df.select(id.as("id"), emb.as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -257,6 +257,15 @@ object Similarity {
       }
       cents = next
     }
+
+    // Release the cache as soon as the driver-side actions (seed sample +
+    // Lloyd iterations) that motivated it are done: the downstream
+    // index/probe/verify frames lazily re-derive from the source scan (a
+    // cheap columnar read) instead of pinning a session-lifetime copy of
+    // the embeddings — repeated ivfTopK calls in a long-lived session
+    // would otherwise accumulate MEMORY_AND_DISK copies until eviction
+    // thrash (observed as CacheManager "already cached" warnings).
+    vecs.unpersist(blocking = false)
 
     // ONE probes evaluation per row serves both sides: the nearest list is
     // the first (descending-ordered) probe, so the index is element_at(_p,

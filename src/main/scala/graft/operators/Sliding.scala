@@ -49,4 +49,70 @@ object Sliding {
     val out = withStats.withColumn("window_complete", complete)
     (if (requireComplete) out.where(col("window_complete")) else out).drop("_bidx")
   }
+
+  /** Order-insensitive sliding stats over INTEGER-quantized values: the
+    * bit-stable-by-construction form of [[slidingStats]] for LongType value
+    * columns (e.g. micro-unit quantizations of a tier measure).
+    *
+    * `avg`/`stddev_samp` over windowed DOUBLES depend on the engine's
+    * summation order and stddev algorithm — different engines (or different
+    * versions of one engine) disagree in the last ulp, and the stddev's
+    * cancellation amplifies that past any rounding that is still faithful.
+    * Here the windowed sums Σx and Σx² are EXACT integer arithmetic
+    * (order-insensitive in any engine), and the only floating-point ops are
+    * a fixed final sequence on those exact integers — identical IEEE-754
+    * correctly-rounded steps everywhere:
+    *
+    *   mean = Σx / n
+    *   sd   = sqrt(max((Σx² − (Σx·Σx)/n) / (n−1), 0))      (sample, n−1)
+    *
+    * with Σx, Σx² cast to double up front (the cast of an exact int64 is
+    * itself deterministic round-to-nearest). The max(…, 0) guards the
+    * near-zero-variance cancellation case, where the double form can dip a
+    * few ulp below zero (DuckDB errors on sqrt of a negative; Spark yields
+    * NaN — both avoided). Caller contract: |x| small enough that x² and the
+    * width-window Σx² fit in int64 (|x| ≤ ~6e8 at width 26); Spark would
+    * raise on overflow under ANSI rather than wrap silently.
+    *
+    * Emits `<name>_mean`/`<name>_sd` (double, in the quantized unit) and
+    * `<name>_n` per value column, plus `window_complete`. An equivalent
+    * oracle must spell the IDENTICAL op sequence, e.g. for width 3:
+    * {{{
+    *   CAST(sum(x) OVER w AS BIGINT)                       AS s,
+    *   CAST(sum(x*x) OVER w AS BIGINT)                     AS q,
+    *   CAST(s AS DOUBLE) / 3.0                             AS x_mean,
+    *   sqrt(greatest((CAST(q AS DOUBLE)
+    *     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS x_sd
+    * }}} */
+  def slidingStatsExact(
+      tier: DataFrame,
+      entity: Column,
+      bucket: Column,
+      stepSeconds: Long,
+      width: Int,
+      values: Seq[(String, Column)],
+      requireComplete: Boolean = true): DataFrame = {
+    require(width >= 2, s"width must be >= 2 for a sample sd, got $width")
+    val idx = (unix_timestamp(bucket.cast("timestamp")) / stepSeconds).cast("long")
+    val base = tier.withColumn("_bidx", idx)
+    val wr = Window.partitionBy(entity).orderBy(col("_bidx"))
+      .rangeBetween(-(width - 1).toLong, 0L)
+    val nD = width.toDouble
+    val withStats = values.foldLeft(base) { case (df, (name, c)) =>
+      val s = sum(c).over(wr).cast("double")
+      val q = sum(c * c).over(wr).cast("double")
+      val n = count(c).over(wr)
+      // stats divide by the literal width, so they are emitted only where
+      // the window holds exactly `width` NON-NULL values (a null value in
+      // an otherwise-complete window would silently skew a count-free mean)
+      df.withColumn(s"${name}_mean", when(n === width, s / lit(nD)))
+        .withColumn(s"${name}_sd",
+          when(n === width,
+            sqrt(greatest((q - s * s / lit(nD)) / lit(nD - 1.0), lit(0.0)))))
+        .withColumn(s"${name}_n", n)
+    }
+    val complete = count(lit(1)).over(wr) === width
+    val out = withStats.withColumn("window_complete", complete)
+    (if (requireComplete) out.where(col("window_complete")) else out).drop("_bidx")
+  }
 }

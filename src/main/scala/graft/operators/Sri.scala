@@ -144,9 +144,16 @@ object Sri {
     keyed.agg(count(lit(1)).as("_disagree"))
   }
 
-  /** Epoch tick index of a timestamp column (UTC session ⇒ lossless). */
+  /** Epoch tick index of a timestamp column (UTC session ⇒ lossless).
+    * FLOOR division, not truncation: pre-1970 timestamps (negative epoch)
+    * must land in the tick BELOW, consistently with integer floor-div
+    * semantics — `(unix/tick).cast(long)` truncated toward zero and put
+    * −1s in tick 0. Exact for any realistic epoch: |unix| < 2^53 so the
+    * double quotient's fractional part (≥ 1/tickSeconds when nonzero) dwarfs
+    * its rounding error, and integer-valued quotients are represented
+    * exactly. */
   private def tickOf(ts: Column, tickSeconds: Int): Column =
-    (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long")
+    floor(unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long")
 
   /** Episode ticks after keep-last overlap dedup (sri.R:27-39). */
   private def dedupedEpisodeTicks(
@@ -199,7 +206,7 @@ object Sri {
       ts: Column,
       tickSeconds: Int): (DataFrame, DataFrame) = {
     val active = turns
-      .select(entity.as("e"), (unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long").as("tick"))
+      .select(entity.as("e"), tickOf(ts, tickSeconds).as("tick"))
       .groupBy(col("e"), col("tick"))
       .agg(count(lit(1)).as("_n"))
       .select(col("e"), col("tick"))
@@ -240,6 +247,25 @@ object Sri {
       ts: Column,
       tickSeconds: Int,
       lagTicks: Int,
+      bucketSeconds: Long): DataFrame =
+    activityRegularityBucketedCounts(turns, entity, ts, tickSeconds, lagTicks, bucketSeconds)
+      .select(col("conv_id"), col("bucket_start"),
+        (lit(200.0) * (col("cmp_ticks") - col("disagree")) / col("cmp_ticks") - 100.0).as("sri"))
+
+  /** [[activityRegularityBucketed]] with the underlying EXACT INTEGER
+    * counts exposed instead of the derived float score: per (entity,
+    * bucket) the number of compared ticks (`cmp_ticks`) and of lag
+    * disagreements (`disagree`). Callers that need bit-stable downstream
+    * arithmetic (integer-domain sliding stats, cross-engine oracles)
+    * derive their own score from these integers — any fixed FP op sequence
+    * over them is deterministic in every engine, unlike aggregate-computed
+    * floats. */
+  def activityRegularityBucketedCounts(
+      turns: DataFrame,
+      entity: Column,
+      ts: Column,
+      tickSeconds: Int,
+      lagTicks: Int,
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds % tickSeconds == 0,
       s"bucketSeconds ($bucketSeconds) must be a multiple of tickSeconds ($tickSeconds)")
@@ -262,11 +288,11 @@ object Sri {
       Some(t => (t * tickSeconds / bucketSeconds).cast("long")))
     buckets
       .join(dis, Seq("e", "_bucket"), "left")
-      .withColumn("_d", coalesce(col("_disagree"), lit(0L)))
       .select(
         col("e").as("conv_id"),
         timestamp_seconds(col("_bucket") * ticksPerBucket * tickSeconds).as("bucket_start"),
-        (lit(200.0) * (col("_t") - col("_d")) / col("_t") - 100.0).as("sri"))
+        col("_t").as("cmp_ticks"),
+        coalesce(col("_disagree"), lit(0L)).as("disagree"))
   }
 
   /** Transcripts instantiation: per-tick activity status (1 = at least one
