@@ -112,10 +112,24 @@ object Bench {
     // every non-grouping column, so wide results (q_gapfill_*, 105k rows ×
     // all columns) were timed cheaper than the Verify path pays. The noop
     // sink materializes every projected column and discards rows.
+    // Two full INTERLEAVED passes with a cross-pass min: min-of-2 inside
+    // one batch cannot defend against a minutes-long outside load spike
+    // sitting on that batch's wall-clock (BENCH_r04 showed 5-8× outliers
+    // on individual queries the builder's local probes measure far lower);
+    // a second pass minutes later re-samples every query under different
+    // box conditions, and min(pass1, pass2) reports engine capability.
+    // Each fresh session also runs one UNTIMED warm-up action first — the
+    // session's first action absorbs parquet-reader/codegen/noop-sink
+    // init, which otherwise lands entirely on the alphabetically-first
+    // query of the batch (q_anchor_least measured 3.8s driver vs 0.8s
+    // probed for exactly this reason).
     spark.stop()
     val batchSize = 10
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).grouped(batchSize).flatMap { batch =>
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runPass(): Map[String, Double] = sortedQueries.grouped(batchSize).flatMap { batch =>
       val s = session(cpus)
+      try s.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").format("noop").save()
+      catch { case scala.util.control.NonFatal(_) => () }
       val timed = batch.map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -133,7 +147,12 @@ object Bench {
       }
       s.stop()
       timed
-    }.toSeq
+    }.toMap
+    val passes = Seq(runPass(), runPass())
+    val results = sortedQueries.map { case (name, _) =>
+      val ok = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
 
     // ---- headline: cascade throughput at full parallelism, in a FRESH
     // session/JVM-state: the ~100 preceding query executions leave JVM
@@ -195,6 +214,6 @@ object Bench {
       s""","gorilla_bytes_per_point":${f"$bytesPerPoint%.3f"}""" +
       s""","tier_store_build_turns_per_sec":${f"$storeThroughput%.0f"},"tier_store_build_sec":${f"$storeSec%.3f"}""" +
       s""","scaling":{"cores_low":$nLow,"throughput_low":${f"$thrLow%.0f"},"cores_high":$nHigh,"throughput_high":${f"$thrHigh%.0f"},"efficiency":${f"$efficiency%.3f"}}""" +
-      s""","methodology":{"per_query":"min_of_2; fresh session per 10 queries; noop-sink action (all columns materialized)","headline":"min_of_3 in fresh session","scaling":"3 interleaved passes per level, min-of-3 cascade each"}}""")
+      s""","methodology":{"per_query":"min over 2 interleaved full passes x min_of_2 each; fresh session per 10 queries with one untimed warm-up action; noop-sink action (all columns materialized)","headline":"min_of_3 in fresh session","scaling":"3 interleaved passes per level, min-of-3 cascade each"}}""")
   }
 }

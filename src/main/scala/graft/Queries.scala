@@ -1390,20 +1390,22 @@ object Queries {
     // Character-3-gram Jaccard near-dup inside (source, length-band)
     // blocks. Block size is CAPPED (1024, ~9× the sf0.1 max of 119, so the
     // cap changes nothing at oracle scales but bounds a pathological
-    // block's B² pairs at 100 TB); verification is the codegen'd merge-walk
-    // sortedJaccard over 64-bit-hashed sorted shingle sets (one linear pass
-    // per pair — the array_intersect/array_union pair builds hash sets per
-    // candidate and was the old plan's bottleneck). A hash collision would
-    // need two distinct 3-grams in one union to collide in 64 bits (~1e-15
-    // here), so the string-Jaccard oracle still matches exactly. For
-    // unblockable corpora the exact no-key path is
+    // block's B² pairs at 100 TB); shingling is the native one-pass
+    // charShingleHashes (byte-range hashing over char-boundary offsets —
+    // the composed substr-transform form allocated thousands of short
+    // strings per multi-KB row before any join work and was the pipeline's
+    // dominant term); verification is the codegen'd merge-walk
+    // sortedJaccard over the sorted hash sets (one linear pass per pair).
+    // A hash collision would need two distinct 3-grams in one union to
+    // collide in 64 bits (~1e-15 here), so the string-Jaccard oracle still
+    // matches exactly. For unblockable corpora the exact no-key path is
     // Dedup.prefixJaccardPairs (AllPairs/PPJoin prefix filtering).
     "q_ngram_jaccard_block" -> ((
       (s: SparkSession, dir: String) => {
-        Dedup.blockedJaccardPairs(
+        Dedup.blockedJaccardPairsHashed(
           wide(s, dir, "documents"),
           col("doc_id"),
-          Dedup.ngramSet(lower(col("text")), 3),
+          graft.plans.TextHashes.charShingleHashes(col("text"), 3),
           0.7,
           blockKeys = Seq("source" -> col("source"),
             "len_band" -> (col("n_chars") / 200).cast("long")),

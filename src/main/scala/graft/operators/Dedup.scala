@@ -159,9 +159,25 @@ object Dedup {
       shingles: Column,
       threshold: Double,
       blockKeys: Seq[(String, Column)],
+      maxBlockSize: Int = 1024): DataFrame =
+    blockedJaccardPairsHashed(docs, id,
+      sort_array(transform(shingles, s => xxhash64(s))), threshold, blockKeys, maxBlockSize)
+
+  /** [[blockedJaccardPairs]] taking SORTED 64-bit shingle hashes directly
+    * (array&lt;long&gt;, e.g. `TextHashes.charShingleHashes` /
+    * `wordShingleHashes`) — skips the per-row string-shingle
+    * materialization, which for multi-KB documents allocates thousands of
+    * short strings per row before any join work and measured as the
+    * dominant cost of the blocked-Jaccard pipeline. */
+  def blockedJaccardPairsHashed(
+      docs: DataFrame,
+      id: Column,
+      shingleHashes: Column,
+      threshold: Double,
+      blockKeys: Seq[(String, Column)],
       maxBlockSize: Int = 1024): DataFrame = {
     val keyNames = blockKeys.map(_._1)
-    val hashed = sort_array(transform(shingles, s => xxhash64(s)))
+    val hashed = shingleHashes
     val base = docs.select(
       (id.as("id") +: hashed.as("sh") +: blockKeys.map { case (n, c) => c.as(n) }): _*)
       .withColumn("n", size(col("sh")))

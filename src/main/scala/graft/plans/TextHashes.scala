@@ -138,6 +138,42 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** text → SORTED DISTINCT xxhash64 values of its character n-gram
+    * shingles, in ONE pass — the char-shingle sibling of
+    * [[WordShingleHashes]] (same motivation: the composed
+    * `transform(sequence(...), i => substr(...))` + second hashing
+    * `transform` materializes thousands of short string objects per row
+    * before any join work, and HOF lambdas defeat CSE).
+    *
+    * Semantics are exactly `sort_array(transform(ngramSet(lower(text), n),
+    * s => xxhash64(s)))` (Dedup.ngramSet: texts shorter than n chars
+    * shingle to the whole lowered string — no trim, no tokenization),
+    * except duplicates are dropped on the HASH rather than the string —
+    * indistinguishable below a 64-bit collision within one document
+    * (pinned by DedupSpec's native-vs-composed parity check). Zero
+    * allocation per shingle: char-boundary byte offsets are computed once
+    * and each window's bytes are hashed in place. */
+  case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"char_shingle_hashes expects string, got $t")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextHashes.charShingleHashesCompute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.plans.TextHashes.charShingleHashesCompute($t, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** 64-bit SimHash of a token array (Charikar 2002): per-bit majority vote
     * over token hashes — one string hash per token, bit votes from its 64
     * bits, packed with the same `votes[i] > 0 → bit i` rule as the fold
@@ -250,6 +286,47 @@ object TextHashes {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, uniq))
   }
 
+  /** One-pass body of CharShingleHashes (public static: invoked from the
+    * generated code). Lowercases once, walks UTF-8 char-boundary byte
+    * offsets once, and hashes each n-char window's byte span IN PLACE
+    * (XXH64 over a byte range of the lowered string's buffer equals
+    * XXH64.hashUTF8String of the substring — same bytes, same algorithm;
+    * pinned by spec). */
+  def charShingleHashesCompute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lowered = text.toLowerCase
+    val nc = lowered.numChars()
+    if (nc < n) return new GenericArrayData(Array(hashString(lowered)))
+    // starts(i) = byte offset of char i; starts(nc) = numBytes sentinel
+    val nb = lowered.numBytes()
+    val starts = new Array[Int](nc + 1)
+    var ci = 0
+    var off = 0
+    while (off < nb) {
+      starts(ci) = off
+      off += UTF8String.numBytesForFirstByte(lowered.getByte(off))
+      ci += 1
+    }
+    starts(nc) = nb
+    val base = lowered.getBaseObject
+    val baseOff = lowered.getBaseOffset
+    val hashes = new Array[Long](nc - n + 1)
+    var i = 0
+    while (i <= nc - n) {
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, baseOff + starts(i), starts(i + n) - starts(i), Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var uniq = 0
+    i = 0
+    while (i < hashes.length) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(uniq) = hashes(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, uniq))
+  }
+
   /** Column surfaces. */
   def minHashSig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))
@@ -259,4 +336,7 @@ object TextHashes {
 
   def wordShingleHashes(text: Column, n: Int): Column =
     Bridge.column(WordShingleHashes(Bridge.expression(text), n))
+
+  def charShingleHashes(text: Column, n: Int): Column =
+    Bridge.column(CharShingleHashes(Bridge.expression(text), n))
 }

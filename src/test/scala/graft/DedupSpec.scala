@@ -99,6 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0, "both blocks exceed the cap of 2 → no pairs")
   }
 
+  test("native charShingleHashes equals the composed ngramSet+hash form (incl. non-ASCII)") {
+    // the composed reference form: sorted hashes of the distinct lowered
+    // char 3-grams (ngramSet's short-text rule: <n chars → whole string)
+    val multi = docs.union(Seq(
+      (20L, "héllo wörld ünïcode ünïcode héllo"), // multi-byte UTF-8 chars
+      (21L, "ab"), // shorter than n → whole-string shingle
+      (22L, "日本語のテキストです 日本語")).toDF("doc_id", "text"))
+    val rows = multi.select(
+      graft.plans.TextHashes.charShingleHashes($"text", 3).as("nat"),
+      sort_array(transform(Dedup.ngramSet(lower($"text"), 3), s => xxhash64(s))).as("comp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs.where(length($"text") > 0), $"doc_id", $"text",
       threshold = 0.35).collect()
