@@ -64,11 +64,13 @@ import org.apache.spark.sql.functions._
   *     (or a racing slow writer) that leaves CURRENT behind heals on the
   *     next read. A crash before the claim leaves only an unreferenced
   *     data/d-<uuid> dir, reclaimed by `vacuum` after its grace window;
-  *   - atomicity of the claim is the storage layer's no-overwrite rename:
-  *     server-side atomic on HDFS; POSIX check-then-rename on local FS
-  *     (an in-JVM lock covers same-process writers there; cross-process
-  *     local writers keep the single-writer contract); object stores need
-  *     a conditional-put committer;
+  *   - atomicity of the claim is the storage layer's no-overwrite rename
+  *     (server-side atomic on HDFS; object stores need a conditional-put
+  *     committer); on LOCAL FS — where POSIX rename overwrites — the claim
+  *     is an atomic exclusive-create marker (O_CREAT|O_EXCL) guarding the
+  *     rename, so cross-PROCESS local writers are linearized too (an
+  *     in-JVM lock still serializes same-process writers cheaply; a
+  *     crash-orphaned marker is broken after a stale window);
   *   - the key index is written strictly AFTER the claim, so it can only
   *     ever be STALE, never ahead — `syncKeyIndex` heals staleness by
   *     walking just the (indexed, CURRENT] gap;
@@ -144,7 +146,11 @@ final class IceTable(val root: String) {
     * makes a claim durable even if the claimer crashed before advancing
     * CURRENT — the pointer is a cache, the JSON claim is the truth. */
   def currentSnapshotId: Long = {
-    val hint = if (fs.exists(currentFile)) readFully(currentFile).trim.toLong else 0L
+    // tolerate a hint caught mid-replacement: Hadoop's OVERWRITE rename on
+    // local FS is delete-then-rename, so a concurrent reader can observe
+    // CURRENT briefly absent (or half-gone) — the claim listing below is
+    // the durable truth either way
+    val hint = scala.util.Try(readFully(currentFile).trim.toLong).getOrElse(0L)
     math.max(hint, maxIdIn(snapDir, "v", ".json"))
   }
 
@@ -226,26 +232,75 @@ final class IceTable(val root: String) {
   /** COMMIT POINT: claim snapshots/v<id>.json by rename-WITHOUT-overwrite
     * of a fully written temp file. Returns false (and cleans the temp) if
     * another writer holds the id. The no-overwrite rename is server-side
-    * atomic on HDFS; on local FS it is check-then-rename, which the in-JVM
-    * `commitLock` makes safe for same-process writers. */
-  private def tryClaimSnapshot(s: Snapshot): Boolean = {
+    * atomic on HDFS; on LOCAL FS FileContext's rename is check-then-rename
+    * (POSIX rename overwrites), so two writers in different PROCESSES
+    * could both "win" one id and silently lose a committed append — there
+    * the rename is additionally guarded by an atomic exclusive-create
+    * claim marker (`v<id>.json.claim`, java.io O_CREAT|O_EXCL): only the
+    * marker holder may rename, and the marker is only released after the
+    * winner's dst exists, so a later claimant always observes it. A marker
+    * orphaned by a crash is broken after `ClaimStaleMs` (competitors sleep
+    * briefly per lost attempt, so the commit retry loop spans the stale
+    * window instead of burning through its attempt budget first). */
+  private[graft] def tryClaimSnapshot(s: Snapshot): Boolean = {
     fs.mkdirs(snapDir)
     val dst = new Path(snapDir, f"v${s.id}%05d.json")
-    val tmp = new Path(snapDir, s".${dst.getName}.claim-${java.util.UUID.randomUUID()}")
+    val tmp = new Path(snapDir, s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
     val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
     try out.write(snapshotJsonString(s)) finally out.close()
-    val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
-    try { fc.rename(tmp, dst); true }
-    catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException
-           | _: java.nio.file.FileAlreadyExistsException
-           | _: java.io.IOException) =>
-        // claim lost (or storage refused) — if dst now exists someone else
-        // committed this id; surface anything else as a real failure
-        fs.delete(tmp, false): Unit
-        if (fs.exists(dst)) false
-        else throw new IllegalStateException(
-          s"IceTable claim of $dst failed without a competing snapshot", e)
+    if (isLocalFs) claimLocalFs(tmp, dst)
+    else {
+      val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
+      try { fc.rename(tmp, dst); true }
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException
+             | _: java.nio.file.FileAlreadyExistsException
+             | _: java.io.IOException) =>
+          // claim lost (or storage refused) — if dst now exists someone
+          // else committed this id; surface anything else as a real failure
+          fs.delete(tmp, false): Unit
+          if (fs.exists(dst)) false
+          else throw new IllegalStateException(
+            s"IceTable claim of $dst failed without a competing snapshot", e)
+      }
+    }
+  }
+
+  private def isLocalFs: Boolean = "file" == fs.getUri.getScheme
+
+  /** Local-FS claim: atomically create `dst.claim` (File.createNewFile is
+    * O_CREAT|O_EXCL — a true cross-process atomic, unlike local rename or
+    * FileSystem.create(overwrite=false), which are both check-then-act);
+    * the holder re-checks dst (a competitor that held the marker before us
+    * must have completed its rename before releasing it), renames, and
+    * releases. Losers sleep ~50ms so claimCommit's bounded retry loop
+    * outlasts `ClaimStaleMs` and can break a crash-orphaned marker. */
+  private def claimLocalFs(tmp: Path, dst: Path): Boolean = {
+    val marker = new java.io.File(
+      fs.makeQualified(new Path(snapDir, dst.getName + ".claim")).toUri.getPath)
+    val created =
+      try marker.createNewFile()
+      catch { case _: java.io.IOException => false }
+    if (!created) {
+      fs.delete(tmp, false): Unit
+      if (!fs.exists(dst) && marker.exists()
+          && System.currentTimeMillis() - marker.lastModified() > IceTable.ClaimStaleMs) {
+        marker.delete(): Unit // crash-orphaned claim — break it and retry
+      } else if (!fs.exists(dst)) {
+        Thread.sleep(50) // live competitor mid-rename (or orphan aging out)
+      }
+      false
+    } else {
+      try {
+        if (fs.exists(dst)) { fs.delete(tmp, false); false }
+        else {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(dst).toUri),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        }
+      } finally marker.delete(): Unit
     }
   }
 
@@ -566,9 +621,16 @@ object IceTable {
   /** Delta-chain bound: every BaseEvery-th append writes a full manifest. */
   val BaseEvery = 64
 
-  /** Per-root commit monitors: makes the local-FS check-then-rename claim
-    * safe for writers sharing this JVM (HDFS claims are atomic without it;
-    * cross-process local-FS writers keep the single-writer contract). */
+  /** Age after which a local-FS claim marker is presumed crash-orphaned
+    * and may be broken by a competing claimant. A live holder's
+    * marker-to-release span is one rename + one exists-check (millis);
+    * 30s gives four orders of magnitude of slack while staying inside the
+    * span of claimCommit's sleep-backed retry budget (1000 × ~50ms). */
+  private[sources] val ClaimStaleMs = 30000L
+
+  /** Per-root commit monitors: serializes same-JVM writers (cheaper than
+    * marker contention; cross-process local-FS writers are serialized by
+    * the exclusive-create claim marker, HDFS claims by atomic rename). */
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[sources] def lockFor(root: String): Object =
     locks.computeIfAbsent(root, _ => new Object)

@@ -302,6 +302,41 @@ class IceTableSpec extends SparkSpec {
       "every append must survive concurrent vacuuming")
   }
 
+  test("cross-process claim race: exactly one of N concurrent claimants wins an id") {
+    // drives tryClaimSnapshot DIRECTLY from distinct IceTable instances,
+    // bypassing the in-JVM commit lock (claimCommit's monitor) — the
+    // local-FS exclusive-create marker is then the ONLY serialization, the
+    // same situation as N separate processes claiming one id. POSIX rename
+    // overwrites, so without the marker several claimants could each
+    // "succeed" and silently drop all but the last snapshot JSON.
+    val root = tmp("ice")
+    val n = 8
+    val tables = (0 until n).map(_ => IceTable(root))
+    tables.head.append(turnsDf.limit(5).coalesce(1), "ts") // v1 exists
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val wins =
+      try {
+        val futures = tables.zipWithIndex.map { case (t, i) =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              val snap = t.Snapshot(id = 2L, parentId = 1L, op = s"claimant-$i", files = Seq.empty)
+              barrier.await()
+              t.tryClaimSnapshot(snap)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
+    assert(wins.count(identity) == 1, s"exactly one claim of v2 may win, got $wins")
+    val winner = wins.indexOf(true)
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/snapshots/v00002.json"))
+    assert(json.contains(s"claimant-$winner"), "the committed JSON must be the winner's, intact")
+    assert(!new java.io.File(s"$root/snapshots/v00002.json.claim").exists(),
+      "the claim marker is released after the commit")
+  }
+
   test("checkpointed rollup resumes after crash with identical output") {
     val t = IceTable(tmp("ice"))
     t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")
