@@ -1109,6 +1109,84 @@ object Queries {
           |UNION ALL SELECT conv_id, week_start, 'summary:weekly:mean:ratiof', ratiof FROM w
           |UNION ALL SELECT conv_id, week_start, 'summary:weekly:numrecords:hrv', nrec FROM w""".stripMargin))),
 
+    // FLAGSHIP COMPOSITION #5 (reference weekly-sleep-efficiencies.R:20-180
+    // end-to-end on the events shape): D1 distinct on load (:101) →
+    // per-record Efficiency_computed = getSleepEfficiency with R's
+    // na.rm-sum semantics and EXACT-integer round(100·num/den)
+    // (Scalars.efficiencyPct; :20-50,116) beside the vendor Efficiency
+    // column (:104) → Sunday-anchored weekly means of both, NA-skipping
+    // (WeeklyMeans, :52-90,161) — the vendor-vs-computed comparison pair
+    // the script plots. Level fields are deterministic integer derivations
+    // of (event_id, value) with per-field NULL masks so the na.rm and
+    // all-NA→NULL paths actually fire; classic/stages/other typing comes
+    // from event_type so the unknown-Type→NA branch fires too. Weekly
+    // means of integers are bit-stable: exact integer sums, one division.
+    "q_weekly_eff" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir)
+        val recs = ev.select(
+          col("user_id").as("conv_id"),
+          col("event_id"),
+          TimeBuckets.weekSunday(col("ts")).as("week_start"),
+          when(col("event_type").isin("click", "view"), lit("classic"))
+            .when(col("event_type").isin("purchase", "signup"), lit("stages"))
+            .otherwise(lit("other")).as("typ"),
+          when(col("event_id") % 19 =!= 0, floor(col("value")) % 101).as("eff_vendor"),
+          when(col("event_id") % 11 =!= 0, col("event_id") % 13).as("awake"),
+          when(col("event_id") % 5 =!= 0, floor(col("value"))).as("asleep"),
+          when(col("event_id") % 7 =!= 0, col("event_id") % 45).as("restless"),
+          when(col("event_id") % 6 =!= 0, floor(col("value") / 2)).as("light"),
+          when(col("event_id") % 8 =!= 0, col("event_id") % 29).as("deep"),
+          when(col("event_id") % 9 =!= 0, col("event_id") % 17).as("rem"),
+          when(col("event_id") % 10 =!= 0, col("event_id") % 9).as("wake"))
+          .distinct()
+        recs
+          .withColumn("eff_computed",
+            Scalars.efficiencyPct(col("typ"), col("awake"), col("asleep"), col("restless"),
+              col("light"), col("deep"), col("rem"), col("wake")))
+          .groupBy(col("conv_id"), col("week_start"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            count(col("eff_computed")).as("n_scored"),
+            avg(col("eff_vendor")).as("eff_vendor_mean"),
+            avg(col("eff_computed")).as("eff_computed_mean"))
+      },
+      Some(
+        """WITH rec AS (
+          |  SELECT DISTINCT
+          |    user_id AS conv_id, event_id,
+          |    date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week_start,
+          |    CASE WHEN event_type IN ('click','view') THEN 'classic'
+          |         WHEN event_type IN ('purchase','signup') THEN 'stages'
+          |         ELSE 'other' END AS typ,
+          |    CASE WHEN event_id % 19 <> 0 THEN floor(value)::BIGINT % 101 END AS eff_vendor,
+          |    CASE WHEN event_id % 11 <> 0 THEN event_id % 13 END AS awake,
+          |    CASE WHEN event_id % 5 <> 0 THEN floor(value)::BIGINT END AS asleep,
+          |    CASE WHEN event_id % 7 <> 0 THEN event_id % 45 END AS restless,
+          |    CASE WHEN event_id % 6 <> 0 THEN floor(value / 2)::BIGINT END AS light,
+          |    CASE WHEN event_id % 8 <> 0 THEN event_id % 29 END AS deep,
+          |    CASE WHEN event_id % 9 <> 0 THEN event_id % 17 END AS rem,
+          |    CASE WHEN event_id % 10 <> 0 THEN event_id % 9 END AS wake
+          |  FROM events),
+          |nd AS (
+          |  SELECT *,
+          |    CASE WHEN typ = 'classic' THEN coalesce(asleep, 0) + coalesce(restless, 0)
+          |         WHEN typ = 'stages' THEN coalesce(light, 0) + coalesce(deep, 0) + coalesce(rem, 0)
+          |    END AS num,
+          |    CASE WHEN typ = 'classic' THEN coalesce(awake, 0) + coalesce(asleep, 0) + coalesce(restless, 0)
+          |         WHEN typ = 'stages' THEN coalesce(light, 0) + coalesce(deep, 0) + coalesce(rem, 0) + coalesce(wake, 0)
+          |    END AS den
+          |  FROM rec),
+          |sc AS (
+          |  SELECT conv_id, week_start, eff_vendor,
+          |    CASE WHEN den > 0
+          |      THEN CAST(floor(CAST(200 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT)
+          |    END AS eff_computed
+          |  FROM nd)
+          |SELECT conv_id, week_start, count(*) AS n_records, count(eff_computed) AS n_scored,
+          |  avg(eff_vendor) AS eff_vendor_mean, avg(eff_computed) AS eff_computed_mean
+          |FROM sc GROUP BY 1, 2""".stripMargin))),
+
     // The FAITHFUL episode-grid SRI (functions/sri.R:27-61): episodes with
     // (start, end, status, source-order) explode to 300s ticks, overlaps
     // dedup keep-LAST by source order (:37-39), the per-entity span

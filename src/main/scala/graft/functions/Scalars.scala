@@ -35,7 +35,9 @@ object Scalars {
   /** Sleep-efficiency expression, branch-heavy but UDF-free
     * (/root/reference/scripts/daily-measures.R:20-49): classic =
     * (asleep+restless)/(awake+asleep+restless); stages =
-    * (light+deep+rem)/(light+deep+rem+wake); rounded ×100. */
+    * (light+deep+rem)/(light+deep+rem+wake); rounded ×100. NULL level
+    * fields propagate (use [[efficiencyPct]] for the reference's
+    * na.rm-sum semantics). */
   def efficiency(
       typ: Column,
       awake: Column, asleep: Column, restless: Column,
@@ -43,6 +45,34 @@ object Scalars {
     val classic = (asleep + restless) / (awake + asleep + restless)
     val stages = (light + deep + rem) / (light + deep + rem + wake)
     round(lit(100.0) * when(typ === "classic", classic).when(typ === "stages", stages), 0)
+  }
+
+  /** getSleepEfficiency with the reference's FULL semantics
+    * (/root/reference/scripts/weekly-sleep-efficiencies.R:20-50), for
+    * INTEGRAL level fields: the level sums are R's `sum(..., na.rm=T)`
+    * (NA contributes 0, all-NA sums to 0), and the `round(100*x)` is done
+    * in EXACT integer arithmetic — round-half-up(100·num/den) =
+    * floor((200·num + den) / (2·den)) — so .5 ties (common with small
+    * integer level minutes) round identically in every engine instead of
+    * hanging on an FP representation's last ulp. A zero denominator (all
+    * levels NA) yields NULL, the aggregation-level analog of R's 0/0 NaN
+    * being dropped by the weekly na.rm mean; an unknown Type yields NULL
+    * (R's `ifelse(Type %in% ..., x, NA)`). The double-route floor-div is
+    * exact for any plausible minute counts (numerator < 2^53, fractional
+    * part ≥ 1/(2·den) dwarfs the division's rounding error). */
+  def efficiencyPct(
+      typ: Column,
+      awake: Column, asleep: Column, restless: Column,
+      light: Column, deep: Column, rem: Column, wake: Column): Column = {
+    def z(c: Column) = coalesce(c.cast("long"), lit(0L))
+    val numClassic = z(asleep) + z(restless)
+    val denClassic = z(awake) + z(asleep) + z(restless)
+    val numStages = z(light) + z(deep) + z(rem)
+    val denStages = z(light) + z(deep) + z(rem) + z(wake)
+    val num = when(typ === "classic", numClassic).when(typ === "stages", numStages)
+    val den = when(typ === "classic", denClassic).when(typ === "stages", denStages)
+    when(den > 0,
+      floor((lit(200L) * num + den).cast("double") / (lit(2L) * den).cast("double")).cast("long"))
   }
 
   /** Between8and2: time-of-day in [20:00, 24:00) ∪ [00:00, 02:00]

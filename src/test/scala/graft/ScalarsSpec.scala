@@ -34,6 +34,28 @@ class ScalarsSpec extends SparkSpec {
     assert(got.toSeq == Seq(90.0, 80.0))
   }
 
+  test("efficiencyPct: na.rm sums, all-NA→NULL, unknown Type→NULL, half-up .5 ties " +
+    "(weekly-sleep-efficiencies.R:20-50)") {
+    val df = Seq(
+      // classic, restless NA: (7+0)/(3+7+0) → round(70.0) = 70
+      ("classic", Some(3L), Some(7L), None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long]),
+      // classic .5 tie: (1+0)/(1+1+0) = 50 exact; tie case below
+      ("classic", Some(99L), Some(1L), Some(0L), None, None, None, None), // 1/100 → 1.0 → 1
+      // classic true .5 tie: num=1, den=200 → 0.5 → half-up → 1
+      ("classic", Some(199L), Some(1L), Some(0L), None, None, None, None),
+      // stages: (2+3+5)/(2+3+5+10) = 50
+      ("stages", None, None, None, Some(2L), Some(3L), Some(5L), Some(10L)),
+      // all-NA levels → den 0 → NULL
+      ("classic", None, None, None, None, None, None, None),
+      // unknown type → NULL
+      ("other", Some(3L), Some(7L), Some(1L), None, None, None, None))
+      .toDF("typ", "awake", "asleep", "restless", "light", "deep", "rem", "wake")
+    val got = df.select(Scalars.efficiencyPct($"typ", $"awake", $"asleep", $"restless",
+      $"light", $"deep", $"rem", $"wake").as("e")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(70L), Some(1L), Some(1L), Some(50L), None, None))
+  }
+
   test("weekday label + Between8and2 boundaries") {
     val df = Seq("2025-01-06 20:00:00", "2025-01-07 02:00:00", "2025-01-08 02:00:01", "2025-01-09 19:59:59")
       .toDF("tss").withColumn("ts", to_timestamp($"tss"))
