@@ -1572,7 +1572,54 @@ object Queries {
     "q_ann_ivf" -> ((
       (s: SparkSession, dir: String) =>
         Similarity.ivfTopK(wide(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 5),
-      None)))
+      None)),
+
+    // Driver-checkable ANN correctness: the ENTIRE IVF machinery
+    // (hash-seeded Lloyd centroids → IvfProbes assignment → one-list-per-
+    // vector index → probed-list candidate join → per-query ranking) run
+    // at FULL probe width (nProbe = nLists), where its output is by
+    // construction the exact brute-force top-5 — which DuckDB CAN
+    // independently reproduce. If assignment, probing, or the candidate
+    // join ever dropped or duplicated a vector, this row's hash breaks.
+    // Ranking is made cross-engine-deterministic by quantizing embeddings
+    // to integers (round(x·2^20), exact at float precision; Spark and
+    // DuckDB both round half-away-from-zero so even representable .5 ties
+    // agree) and ranking on QuantCosine — exact int64 dot/norms, one fixed
+    // FP division/sqrt sequence mirrored in the oracle. PARTIAL-probe
+    // recall (the actual approximation quality, 0.94@5 at 20/32) stays
+    // spec-pinned: it depends on the engine's own centroids, which no
+    // external SQL oracle can re-derive.
+    "q_ann_ivf_recall" -> ((
+      (s: SparkSession, dir: String) => {
+        val qv = wide(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * lit(1048576.0))).as("qemb"))
+        Similarity.ivfTopK(qv, col("vec_id"), col("qemb"), k = 5, nLists = 32, nProbe = 32,
+          sim = graft.plans.QuantCosine.quantCosine)
+          .select(col("vec_id"), col("rank"), col("neighbour_id"))
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1048576.0) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |n AS (
+          |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm
+          |  FROM q),
+          |p AS (
+          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbour_id,
+          |    CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot,
+          |    a.nrm AS na, b.nrm AS nb
+          |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+          |r AS (
+          |  SELECT vec_id, neighbour_id,
+          |    CASE WHEN na > 0 AND nb > 0
+          |      THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+          |      ELSE 0.0 END AS sim
+          |  FROM p),
+          |t AS (
+          |  SELECT vec_id, neighbour_id,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbour_id) AS rank
+          |  FROM r)
+          |SELECT vec_id, rank, neighbour_id FROM t WHERE rank <= 5""".stripMargin))))
 
   val catalog: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     core ++ pipeline

@@ -174,6 +174,14 @@ object Similarity {
     * uniform data). A genuinely clustered production corpus should raise
     * nLists (~sqrt(n)) and cut nProbe to single digits — candidates scale
     * as n·nProbe/nLists either way. */
+  /** `sim` is the verification similarity (default: the codegen'd FP
+    * CosineSim). Pass `QuantCosine.quantCosine` with pre-quantized integral
+    * embeddings when the ranking must be cross-engine-deterministic (an
+    * external oracle re-deriving the same top-k — see q_ann_ivf_recall);
+    * setting `nProbe = nLists` then makes the output EXACTLY the
+    * brute-force top-k (every vector lives in exactly one list and every
+    * list is probed), which is how the approximate machinery's plumbing is
+    * driver-verified end-to-end. */
   def ivfTopK(
       df: DataFrame,
       id: Column,
@@ -181,14 +189,15 @@ object Similarity {
       k: Int,
       nLists: Int = 32,
       nProbe: Int = 20,
-      lloydIters: Int = 3): DataFrame = {
+      lloydIters: Int = 3,
+      sim: (Column, Column) => Column = graft.plans.CosineSim.cosineSim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (vecs, indexed, probed) = ivfParts(df, id, emb, nLists, nProbe, lloydIters)
     val cand = probed.join(indexed, Seq("list"))
       .where(col("vec_id") =!= col("neighbour_id"))
       .join(vecs.select(col("id").as("vec_id"), col("e").as("e_a")), Seq("vec_id"))
       .select(col("vec_id"), col("neighbour_id"),
-        graft.plans.CosineSim.cosineSim(col("e_a"), col("e_b")).as("sim"))
+        sim(col("e_a"), col("e_b")).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbour_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -77,4 +77,30 @@ class CosineSimSpec extends SparkSpec {
     assert(e.getMessage.contains("length mismatch") ||
       Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
   }
+
+  test("quantCosine: exact-integer accumulation, long/double inputs, edge cases") {
+    import graft.plans.QuantCosine
+    // integral doubles vs longs: same value; matches the hand-computed
+    // fixed op sequence (double)dot / sqrt((double)na * (double)nb)
+    val d = Seq((Seq(3.0, -4.0, 0.0), Seq(6.0, 8.0, 1.0))).toDF("a", "b")
+    val l = Seq((Seq(3L, -4L, 0L), Seq(6L, 8L, 1L))).toDF("a", "b")
+    val exp = (3.0 * 6 - 4 * 8 + 0).toDouble / math.sqrt(25.0 * 101.0)
+    assert(d.select(QuantCosine.quantCosine($"a", $"b")).head().getDouble(0) == exp)
+    assert(l.select(QuantCosine.quantCosine($"a", $"b")).head().getDouble(0) == exp)
+    // zero norm and length mismatch → 0.0 (never null on non-null input)
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)), (Seq(1.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+    assert(z.select(QuantCosine.quantCosine($"a", $"b")).collect().map(_.getDouble(0)).toSeq
+      == Seq(0.0, 0.0))
+    // quantization at scale 2^20 on real float embeddings ranks identically
+    // to FP cosine on this data (sanity: top-1 neighbour of vec 0 agrees)
+    val q = emb.select($"vec_id",
+      transform($"embedding", x => round(x.cast("double") * lit(1048576.0))).as("qe"))
+    val probe = q.where($"vec_id" === 0).head().getSeq[Double](1)
+    val fpProbe = emb.where($"vec_id" === 0).head().getSeq[Float](1)
+    def top(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.where($"vec_id" =!= 0).orderBy(c.desc, $"vec_id").select($"vec_id").head().getLong(0)
+    assert(top(q, QuantCosine.quantCosine($"qe", typedlit(probe)))
+      == top(emb, CosineSim.cosineSim($"embedding", typedlit(fpProbe))))
+  }
 }
