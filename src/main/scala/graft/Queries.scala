@@ -1400,11 +1400,14 @@ object Queries {
     // Token / diversity / stopword text stats (quality-scoring inputs).
     "q_token_stats" -> ((
       (s: SparkSession, dir: String) =>
-        tbl(s, dir, "documents").select(
-          col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          round(TextFunctions.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
-          round(TextFunctions.stopwordRatio(col("text"), Seq("the", "a", "of")), 6).as("stopword_ratio")),
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenStats(col("text"), Seq("the", "a", "of")).as("_ts"))
+          .select(
+            col("doc_id"),
+            col("_ts.n_tokens").as("n_tokens"),
+            round(col("_ts.distinct_ratio"), 6).as("distinct_ratio"),
+            round(col("_ts.stopword_ratio"), 6).as("stopword_ratio")),
       Some(
         """WITH t AS (
           |  SELECT doc_id,

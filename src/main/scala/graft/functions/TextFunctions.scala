@@ -36,6 +36,28 @@ object TextFunctions {
     when(size(toks) > 0, size(array_distinct(toks)).cast("double") / size(toks)).otherwise(lit(0.0))
   }
 
+  /** All three token stats from ONE tokenizer run: struct(n_tokens,
+    * distinct_ratio, stopword_ratio). Composing tokenCount +
+    * distinctTokenRatio + stopwordRatio re-runs the trim+regex-split per
+    * stat (conditional subtrees escape Catalyst subexpression
+    * elimination), and stopwordRatio re-tokenizes the LOWERED text besides
+    * — here the token array is let-bound as a one-element-transform lambda
+    * argument (evaluated once, references are cheap reads) and the lowered
+    * tokens come from `transform(toks, lower)` (lower commutes with
+    * trim/whitespace-split, so this equals tokenizing the lowered text
+    * without the second regex pass). */
+  def tokenStats(text: Column, stopwords: Seq[String]): Column =
+    element_at(transform(array(tokens(text)), tk => {
+      val ltk = transform(tk, t => lower(t))
+      struct(
+        size(tk).as("n_tokens"),
+        when(size(tk) > 0, size(array_distinct(tk)).cast("double") / size(tk))
+          .otherwise(lit(0.0)).as("distinct_ratio"),
+        when(size(tk) > 0,
+          size(filter(ltk, t => t.isInCollection(stopwords))).cast("double") / size(tk))
+          .otherwise(lit(0.0)).as("stopword_ratio"))
+    }), 1)
+
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

@@ -312,12 +312,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over token
-    * hashes (Charikar 2002). Native expression (plans.TextHashes.SimHash64):
-    * one string hash + 64 primitive vote updates per token — bit-identical
-    * to the earlier 64-slot HOF vote fold, which allocated a 64-element
-    * lambda frame per token. */
+    * hashes (Charikar 2002). Native ONE-PASS expression
+    * (plans.TextHashes.SimHashText): tokenizes by scanning the
+    * lowered-trimmed bytes for whitespace runs and votes each token's byte
+    * span in place — no token array materialization at all. Bit-identical
+    * to `simHash64(tokens(lower(text)))` (the prior composed form, itself
+    * bit-identical to the original 64-slot HOF vote fold) — parity pinned
+    * by DedupSpec and the q_simhash_pairs golden. */
   def simhash64(text: Column): Column =
-    graft.plans.TextHashes.simHash64(TextFunctions.tokens(lower(text)))
+    graft.plans.TextHashes.simHashText(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = call_function("bit_count", a.bitwiseXOR(b))

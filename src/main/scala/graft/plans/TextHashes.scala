@@ -286,6 +286,79 @@ object TextHashes {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, uniq))
   }
 
+  /** text → 64-bit SimHash in ONE pass — the tokenizing sibling of
+    * [[SimHash64Expr]]. The composed `simHash64(tokens(lower(text)))`
+    * materializes the token array (regex split, one UTF8String per token
+    * in an ArrayData) before the vote loop; here the lowered-trimmed
+    * string's bytes are scanned directly for ASCII-whitespace runs (Java's
+    * `\s` class is ASCII-only, and ASCII bytes never occur inside UTF-8
+    * multi-byte sequences, so the byte scan is exact) and each token's
+    * byte span is hashed in place — zero per-token allocation.
+    *
+    * Semantics are exactly `simHash64(tokens(lower(text)))` including the
+    * edge tokens Java split(-1) produces: a leading separator yields a
+    * leading EMPTY token and a trailing separator a trailing one (both
+    * hashed, as the composed form does); empty/whitespace-only text → 0L.
+    * Bit-parity pinned by DedupSpec and the q_simhash_pairs golden. */
+  case class SimHashText(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"simhash_text expects string, got $t")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextHashes.simHashTextCompute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.plans.TextHashes.simHashTextCompute($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** One-pass body of SimHashText (public static: invoked from the
+    * generated code). */
+  def simHashTextCompute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val lowered = text.toLowerCase.trim() // trim = ASCII spaces, like SQL trim()
+    val nb = lowered.numBytes()
+    if (nb == 0) return 0L // tokens() maps whitespace-only/empty to [] → fp 0
+    val base = lowered.getBaseObject
+    val off = lowered.getBaseOffset
+    @inline def isSep(i: Int): Boolean = {
+      val b = lowered.getByte(i)
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    }
+    val votes = new Array[Long](64)
+    @inline def vote(start: Int, end: Int): Unit = {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + start, end - start, Seed)
+      var i = 0
+      while (i < 64) { votes(i) += (((h >> i) & 1L) * 2L - 1L); i += 1 }
+    }
+    // segments between maximal separator runs; split(-1) keeps a leading
+    // empty token when the text starts with a separator and a trailing one
+    // when it ends with one (interior segments are never empty)
+    var segStart = 0
+    var i = 0
+    while (i < nb) {
+      if (isSep(i)) {
+        vote(segStart, i)
+        i += 1
+        while (i < nb && isSep(i)) i += 1
+        segStart = i
+      } else i += 1
+    }
+    vote(segStart, nb)
+    var fp = 0L
+    i = 0
+    while (i < 64) { if (votes(i) > 0L) fp |= (1L << i); i += 1 }
+    fp
+  }
+
   /** One-pass body of CharShingleHashes (public static: invoked from the
     * generated code). Lowercases once, walks UTF-8 char-boundary byte
     * offsets once, and hashes each n-char window's byte span IN PLACE
@@ -333,6 +406,9 @@ object TextHashes {
 
   def simHash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  def simHashText(text: Column): Column =
+    Bridge.column(SimHashText(Bridge.expression(text)))
 
   def wordShingleHashes(text: Column, n: Int): Column =
     Bridge.column(WordShingleHashes(Bridge.expression(text), n))

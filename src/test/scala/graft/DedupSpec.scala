@@ -115,6 +115,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("one-pass SimHashText equals composed simHash64(tokens(lower(text)))") {
+    // edge shapes: leading/trailing/multiple separators (split(-1)'s empty
+    // edge tokens), tabs surviving SQL trim, non-ASCII, empty, ws-only
+    val edge = Seq((30L, "\tleading tab"), (31L, "trailing space "), (32L, "\t"),
+      (33L, "  "), (34L, "a\t\tb\nc"), (35L, "héllo WÖRLD"), (36L, "one"))
+      .toDF("doc_id", "text")
+    val sample = docs.union(edge).union(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id" + 1000, $"text").toDF("doc_id", "text"))
+    val cmp = sample.select(
+      graft.plans.TextHashes.simHashText($"text").as("one"),
+      graft.plans.TextHashes.simHash64(TextFunctions.tokens(lower($"text"))).as("two"))
+    assert(cmp.where($"one" =!= $"two").count() == 0)
+  }
+
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs.where(length($"text") > 0), $"doc_id", $"text",
       threshold = 0.35).collect()
