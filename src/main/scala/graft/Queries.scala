@@ -23,6 +23,24 @@ object Queries {
 
   private def events(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "events")
 
+  /** Register a JVM-exit recursive delete for a scratch dir, once per
+    * path (repeated query invocations in one process must not stack
+    * hooks). Exit-time cleanup keeps the query lazily consumable — the
+    * caller's action reads the directory long after this function
+    * returns, so an eager delete is impossible. */
+  private val exitDeletes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteOnExit(path: String): Unit =
+    if (exitDeletes.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }))
+    }
+
   /** Small single-file tables arrive as ONE input partition, which would
     * serialize compute-heavy pipelines (signatures, pair joins) onto one
     * task. Spread them across the cores up front — at real scale the input
@@ -91,7 +109,7 @@ object Queries {
       .agg(round(MetricRegistry.registry("circular_sd")(Rollup.todHours(col("ts"))) * lit(1e6))
         .cast("long").as("circ_us"))
       .select(col("conv_id"),
-        (unix_timestamp(col("day").cast("timestamp")) / 86400).cast("long").as("day_idx"),
+        floor(unix_timestamp(col("day").cast("timestamp")) / 86400).cast("long").as("day_idx"),
         col("circ_us"))
   }
 
@@ -234,13 +252,13 @@ object Queries {
           |  SELECT conv_id, bucket_start, m_us,
           |    count(*) OVER w3 AS n3,
           |    CAST(sum(m_us) OVER w3 AS BIGINT) AS s,
-          |    CAST(sum(m_us * m_us) OVER w3 AS BIGINT) AS q
+          |    CAST(sum(CAST(m_us AS HUGEINT) * m_us) OVER w3 AS DOUBLE) AS qd
           |  FROM d
           |  WINDOW w3 AS (PARTITION BY conv_id ORDER BY epoch(bucket_start) // 86400
           |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW))
           |SELECT conv_id, bucket_start, m_us,
           |  CAST(s AS DOUBLE) / 3.0 AS mean3_us,
-          |  sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS sd3_us
+          |  sqrt(greatest((qd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS sd3_us
           |FROM w WHERE n3 = 3""".stripMargin))),
 
     // A15 full SRI epoch-grid pipeline: dense 5-min tick grid per entity,
@@ -340,13 +358,13 @@ object Queries {
           |  SELECT conv_id, bucket_start, m_us,
           |    count(*) OVER w26 AS n26,
           |    CAST(sum(m_us) OVER w26 AS BIGINT) AS s,
-          |    CAST(sum(m_us * m_us) OVER w26 AS BIGINT) AS q
+          |    CAST(sum(CAST(m_us AS HUGEINT) * m_us) OVER w26 AS DOUBLE) AS qd
           |  FROM d
           |  WINDOW w26 AS (PARTITION BY conv_id ORDER BY epoch(bucket_start) // 86400
           |    RANGE BETWEEN 25 PRECEDING AND CURRENT ROW))
           |SELECT conv_id, bucket_start, m_us,
           |  CAST(s AS DOUBLE) / 26.0 AS mean26_us,
-          |  sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 26.0) / 25.0, 0.0)) AS sd26_us
+          |  sqrt(greatest((qd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 26.0) / 25.0, 0.0)) AS sd26_us
           |FROM w WHERE n26 = 26""".stripMargin))),
 
     // W6/A15 SRI-style lag-agreement score (reference 2880-epoch self-lag).
@@ -831,9 +849,12 @@ object Queries {
         // leaked a full CSV copy of events per invocation, while a purely
         // per-sf path let two concurrent JVMs (Bench overlapping Verify)
         // race one's overwrite-write against the other's re-read; the pid
-        // component keeps reuse within a process and isolation across them
+        // component keeps reuse within a process and isolation across
+        // them, and a shutdown hook reclaims the per-process directory so
+        // repeated rounds don't accumulate CSV copies of events in /tmp
         val out = s"/tmp/graft_csv_rt_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
           s"_p${ProcessHandle.current().pid()}"
+        deleteOnExit(out)
         events(s, dir)
           .select(col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").option("header", true).csv(out)
@@ -887,7 +908,7 @@ object Queries {
         Sliding.slidingStatsExact(daily, col("conv_id"), col("bucket_start"), 86400L, 3,
           Seq("sri" -> col("sri_us")))
           .select(col("conv_id"),
-            (unix_timestamp(col("bucket_start")) / 86400).cast("long").as("day_idx"),
+            floor(unix_timestamp(col("bucket_start")) / 86400).cast("long").as("day_idx"),
             col("sri_us"),
             col("sri_mean").as("sri3_mean_us"),
             col("sri_sd").as("sri3_sd_us"))
@@ -916,13 +937,13 @@ object Queries {
           |  SELECT conv_id, day_idx, sri_us,
           |    count(*) OVER ws AS n,
           |    CAST(sum(sri_us) OVER ws AS BIGINT) AS s,
-          |    CAST(sum(sri_us * sri_us) OVER ws AS BIGINT) AS q
+          |    CAST(sum(CAST(sri_us AS HUGEINT) * sri_us) OVER ws AS DOUBLE) AS qd
           |  FROM di
           |  WINDOW ws AS (PARTITION BY conv_id ORDER BY day_idx
           |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW))
           |SELECT conv_id, day_idx, sri_us,
           |  CAST(s AS DOUBLE) / 3.0 AS sri3_mean_us,
-          |  sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS sri3_sd_us
+          |  sqrt(greatest((qd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS sri3_sd_us
           |FROM w WHERE n = 3""".stripMargin))),
 
     // Gap-based conversation sessionization (session_window built-in):
@@ -1178,14 +1199,21 @@ object Queries {
           |    END AS den
           |  FROM rec),
           |sc AS (
+          |  SELECT conv_id, week_start, eff_vendor, num, den,
+          |    CAST(floor(CAST(100 * num AS DOUBLE) / CAST(NULLIF(den, 0) AS DOUBLE)) AS BIGINT) AS fl
+          |  FROM nd),
+          |ef AS (
           |  SELECT conv_id, week_start, eff_vendor,
-          |    CASE WHEN den > 0
-          |      THEN CAST(floor(CAST(200 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT)
+          |    CASE WHEN den > 0 THEN
+          |      CASE WHEN (200 * num) % (2 * den) = den
+          |           THEN CASE WHEN fl % 2 = 0 THEN fl ELSE fl + 1 END
+          |           ELSE CAST(floor(CAST(200 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT)
+          |      END
           |    END AS eff_computed
-          |  FROM nd)
+          |  FROM sc)
           |SELECT conv_id, week_start, count(*) AS n_records, count(eff_computed) AS n_scored,
           |  avg(eff_vendor) AS eff_vendor_mean, avg(eff_computed) AS eff_computed_mean
-          |FROM sc GROUP BY 1, 2""".stripMargin))),
+          |FROM ef GROUP BY 1, 2""".stripMargin))),
 
     // The FAITHFUL episode-grid SRI (functions/sri.R:27-61): episodes with
     // (start, end, status, source-order) explode to 300s ticks, overlaps

@@ -51,15 +51,20 @@ object Scalars {
     * (/root/reference/scripts/weekly-sleep-efficiencies.R:20-50), for
     * INTEGRAL level fields: the level sums are R's `sum(..., na.rm=T)`
     * (NA contributes 0, all-NA sums to 0), and the `round(100*x)` is done
-    * in EXACT integer arithmetic — round-half-up(100·num/den) =
-    * floor((200·num + den) / (2·den)) — so .5 ties (common with small
-    * integer level minutes) round identically in every engine instead of
-    * hanging on an FP representation's last ulp. A zero denominator (all
-    * levels NA) yields NULL, the aggregation-level analog of R's 0/0 NaN
-    * being dropped by the weekly na.rm mean; an unknown Type yields NULL
-    * (R's `ifelse(Type %in% ..., x, NA)`). The double-route floor-div is
-    * exact for any plausible minute counts (numerator < 2^53, fractional
-    * part ≥ 1/(2·den) dwarfs the division's rounding error). */
+    * in EXACT integer arithmetic with R's OWN tie rule — IEC-60559
+    * round-half-to-EVEN, which R's round() applies and which differs from
+    * Spark/DuckDB round() (half-away-from-zero) on every x.5 tie with an
+    * even target (e.g. 100·1/40 = 2.5 → R gives 2). Ties are detected
+    * exactly ((200·num) mod (2·den) = den) and resolved to the even
+    * neighbour; non-ties use floor((200·num + den)/(2·den)) = round. So
+    * the result is both faithful to the reference AND deterministic in
+    * every engine (.5 ties are common with small integer level minutes).
+    * A zero denominator (all levels NA) yields NULL, the
+    * aggregation-level analog of R's 0/0 NaN being dropped by the weekly
+    * na.rm mean; an unknown Type yields NULL (R's `ifelse(Type %in% ...,
+    * x, NA)`). The double-route floor-divs are exact for any plausible
+    * minute counts (numerators < 2^53, fractional parts ≥ 1/(2·den) dwarf
+    * the divisions' rounding error). */
   def efficiencyPct(
       typ: Column,
       awake: Column, asleep: Column, restless: Column,
@@ -71,8 +76,12 @@ object Scalars {
     val denStages = z(light) + z(deep) + z(rem) + z(wake)
     val num = when(typ === "classic", numClassic).when(typ === "stages", numStages)
     val den = when(typ === "classic", denClassic).when(typ === "stages", denStages)
+    val num200 = lit(200L) * num
+    val isTie = num200 % (lit(2L) * den) === den
+    val fl = floor((lit(100L) * num).cast("double") / den.cast("double")).cast("long")
+    val rnd = floor((num200 + den).cast("double") / (lit(2L) * den).cast("double")).cast("long")
     when(den > 0,
-      floor((lit(200L) * num + den).cast("double") / (lit(2L) * den).cast("double")).cast("long"))
+      when(isTie, when(fl % 2 === 0, fl).otherwise(fl + 1)).otherwise(rnd))
   }
 
   /** Between8and2: time-of-day in [20:00, 24:00) ∪ [00:00, 02:00]

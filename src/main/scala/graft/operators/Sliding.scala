@@ -34,7 +34,11 @@ object Sliding {
       width: Int,
       values: Seq[(String, Column)],
       requireComplete: Boolean = true): DataFrame = {
-    val idx = (unix_timestamp(bucket.cast("timestamp")) / stepSeconds).cast("long")
+    // FLOOR, not truncate-toward-zero: pre-1970 buckets (negative epoch)
+    // must index consistently with integer floor-div (same rationale as
+    // Sri.tickOf; exact — the double quotient's fractional part dwarfs its
+    // rounding error and integer-valued quotients are represented exactly)
+    val idx = floor(unix_timestamp(bucket.cast("timestamp")) / stepSeconds).cast("long")
     val base = tier.withColumn("_bidx", idx)
     val wr = Window.partitionBy(entity).orderBy(col("_bidx"))
       .rangeBetween(-(width - 1).toLong, 0L)
@@ -66,22 +70,27 @@ object Sliding {
     *   mean = Σx / n
     *   sd   = sqrt(max((Σx² − (Σx·Σx)/n) / (n−1), 0))      (sample, n−1)
     *
-    * with Σx, Σx² cast to double up front (the cast of an exact int64 is
-    * itself deterministic round-to-nearest). The max(…, 0) guards the
-    * near-zero-variance cancellation case, where the double form can dip a
-    * few ulp below zero (DuckDB errors on sqrt of a negative; Spark yields
-    * NaN — both avoided). Caller contract: |x| small enough that x² and the
-    * width-window Σx² fit in int64 (|x| ≤ ~6e8 at width 26); Spark would
-    * raise on overflow under ANSI rather than wrap silently.
+    * with Σx, Σx² cast to double up front (the cast of an exact integer is
+    * itself deterministic round-to-nearest — for BOTH engines' 128-bit
+    * integer types). The max(…, 0) guards the near-zero-variance
+    * cancellation case, where the double form can dip a few ulp below zero
+    * (DuckDB errors on sqrt of a negative; Spark yields NaN — both
+    * avoided). Σx² accumulates in 128-bit exact arithmetic (Spark
+    * decimal(38,0), mirrored by DuckDB's HUGEINT sum) because a micro-unit
+    * quantization of a few-hundred-scale measure already puts an int64
+    * 26-window Σx² at ~88% of Long.MaxValue — one data-range bump away
+    * from an ANSI overflow error; decimal gives ~20 orders of magnitude of
+    * headroom at negligible cost on width-sized windows. Σx stays int64
+    * (bound: |x|·width < 2^63 — |x| ≤ ~3.5e17 at width 26).
     *
     * Emits `<name>_mean`/`<name>_sd` (double, in the quantized unit) and
     * `<name>_n` per value column, plus `window_complete`. An equivalent
     * oracle must spell the IDENTICAL op sequence, e.g. for width 3:
     * {{{
-    *   CAST(sum(x) OVER w AS BIGINT)                       AS s,
-    *   CAST(sum(x*x) OVER w AS BIGINT)                     AS q,
-    *   CAST(s AS DOUBLE) / 3.0                             AS x_mean,
-    *   sqrt(greatest((CAST(q AS DOUBLE)
+    *   CAST(sum(x) OVER w AS BIGINT)                        AS s,
+    *   CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS DOUBLE)   AS qd,
+    *   CAST(s AS DOUBLE) / 3.0                              AS x_mean,
+    *   sqrt(greatest((qd
     *     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 3.0) / 2.0, 0.0)) AS x_sd
     * }}} */
   def slidingStatsExact(
@@ -93,14 +102,19 @@ object Sliding {
       values: Seq[(String, Column)],
       requireComplete: Boolean = true): DataFrame = {
     require(width >= 2, s"width must be >= 2 for a sample sd, got $width")
-    val idx = (unix_timestamp(bucket.cast("timestamp")) / stepSeconds).cast("long")
+    // FLOOR, not truncate-toward-zero: pre-1970 buckets (negative epoch)
+    // must index consistently with integer floor-div (same rationale as
+    // Sri.tickOf; exact — the double quotient's fractional part dwarfs its
+    // rounding error and integer-valued quotients are represented exactly)
+    val idx = floor(unix_timestamp(bucket.cast("timestamp")) / stepSeconds).cast("long")
     val base = tier.withColumn("_bidx", idx)
     val wr = Window.partitionBy(entity).orderBy(col("_bidx"))
       .rangeBetween(-(width - 1).toLong, 0L)
     val nD = width.toDouble
     val withStats = values.foldLeft(base) { case (df, (name, c)) =>
       val s = sum(c).over(wr).cast("double")
-      val q = sum(c * c).over(wr).cast("double")
+      val cd = c.cast("decimal(38,0)")
+      val q = sum(cd * cd).over(wr).cast("double")
       val n = count(c).over(wr)
       // stats divide by the literal width, so they are emitted only where
       // the window holds exactly `width` NON-NULL values (a null value in

@@ -36,7 +36,9 @@ object Sri {
   private def denseTickGrid(span: DataFrame, tickSeconds: Int): DataFrame = {
     val chunk = math.max(86400L / tickSeconds, 1L) // ≈ one day of ticks
     span
-      .selectExpr("e", "lo", "hi", s"explode(sequence(lo div $chunk, hi div $chunk)) AS c")
+      .selectExpr("e", "lo", "hi",
+        s"explode(sequence(cast(floor(lo / $chunk.0D) as bigint), " +
+          s"cast(floor(hi / $chunk.0D) as bigint))) AS c")
       .selectExpr("e",
         s"explode(sequence(greatest(lo, c * $chunk), least(hi, c * $chunk + ${chunk - 1}))) AS tick")
   }
@@ -277,15 +279,20 @@ object Sri {
       .select(col("e"), (col("lo") + lagTicks).as("_rlo"), col("hi").as("_rhi"))
       .where(col("_rlo") <= col("_rhi"))
       .select(col("e"), col("_rlo"), col("_rhi"),
-        explode(expr(s"sequence(_rlo div $ticksPerBucket, _rhi div $ticksPerBucket)")).as("_bucket"))
+        // floor-div (SQL `div` truncates toward zero — wrong bucket for
+        // negative ticks, inconsistent with tickOf/bucketOf)
+        explode(expr(s"sequence(cast(floor(_rlo / $ticksPerBucket.0D) as bigint), " +
+          s"cast(floor(_rhi / $ticksPerBucket.0D) as bigint))")).as("_bucket"))
       // compared ticks of this bucket: overlap of the bucket's tick range
       // with [rlo, rhi] (pure arithmetic — no grid rows)
       .withColumn("_t",
         least(col("_rhi"), (col("_bucket") + 1) * ticksPerBucket - 1)
           - greatest(col("_rlo"), col("_bucket") * ticksPerBucket) + 1)
       .select(col("e"), col("_bucket"), col("_t"))
+    // floor-div like tickOf: negative ticks must bucket downward, not
+    // toward zero (exact: |t·tickSeconds| < 2^53, fraction ≥ 1/bucketSeconds)
     val dis = sparseDisagreements(active, span, lagTicks,
-      Some(t => (t * tickSeconds / bucketSeconds).cast("long")))
+      Some(t => floor(t * tickSeconds / bucketSeconds).cast("long")))
     buckets
       .join(dis, Seq("e", "_bucket"), "left")
       .select(

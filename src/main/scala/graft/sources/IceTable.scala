@@ -274,7 +274,14 @@ final class IceTable(val root: String) {
     * the holder re-checks dst (a competitor that held the marker before us
     * must have completed its rename before releasing it), renames, and
     * releases. Losers sleep ~50ms so claimCommit's bounded retry loop
-    * outlasts `ClaimStaleMs` and can break a crash-orphaned marker. */
+    * outlasts `ClaimStaleMs` and can break a crash-orphaned marker.
+    *
+    * The stale window makes this a LEASE: a live holder stalled for more
+    * than `ClaimStaleMs` between its dst-check and rename (e.g. a
+    * pathological GC pause) could have its marker broken and race the
+    * breaker's successor — the standard lease caveat, with the window set
+    * four orders of magnitude above the held section's observed latency
+    * (two filesystem metadata ops). */
   private def claimLocalFs(tmp: Path, dst: Path): Boolean = {
     val marker = new java.io.File(
       fs.makeQualified(new Path(snapDir, dst.getName + ".claim")).toUri.getPath)
@@ -285,7 +292,15 @@ final class IceTable(val root: String) {
       fs.delete(tmp, false): Unit
       if (!fs.exists(dst) && marker.exists()
           && System.currentTimeMillis() - marker.lastModified() > IceTable.ClaimStaleMs) {
-        marker.delete(): Unit // crash-orphaned claim — break it and retry
+        // crash-orphaned claim — break it ATOMICALLY by renaming to a
+        // unique tombstone: only one breaker's rename can succeed, so a
+        // delayed breaker can never delete a FRESH marker that another
+        // breaker-then-claimant created after winning the break (a
+        // delete-by-path here would race exactly that way and let two
+        // "holders" both rename over one id); a losing renameTo is a no-op
+        val tomb = new java.io.File(marker.getParentFile,
+          s".${marker.getName}.broken-${java.util.UUID.randomUUID()}")
+        if (marker.renameTo(tomb)) tomb.delete(): Unit
       } else if (!fs.exists(dst)) {
         Thread.sleep(50) // live competitor mid-rename (or orphan aging out)
       }

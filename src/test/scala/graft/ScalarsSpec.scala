@@ -34,15 +34,19 @@ class ScalarsSpec extends SparkSpec {
     assert(got.toSeq == Seq(90.0, 80.0))
   }
 
-  test("efficiencyPct: na.rm sums, all-NA→NULL, unknown Type→NULL, half-up .5 ties " +
+  test("efficiencyPct: na.rm sums, all-NA→NULL, unknown Type→NULL, R half-EVEN .5 ties " +
     "(weekly-sleep-efficiencies.R:20-50)") {
     val df = Seq(
       // classic, restless NA: (7+0)/(3+7+0) → round(70.0) = 70
       ("classic", Some(3L), Some(7L), None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long]),
-      // classic .5 tie: (1+0)/(1+1+0) = 50 exact; tie case below
-      ("classic", Some(99L), Some(1L), Some(0L), None, None, None, None), // 1/100 → 1.0 → 1
-      // classic true .5 tie: num=1, den=200 → 0.5 → half-up → 1
+      // classic exact 1.0 (no tie): 100·1/100 → 1
+      ("classic", Some(99L), Some(1L), Some(0L), None, None, None, None),
+      // .5 tie, even target: num=1, den=200 → 0.5 → R round() → 0
       ("classic", Some(199L), Some(1L), Some(0L), None, None, None, None),
+      // .5 tie, even target: num=1, den=40 → 2.5 → R round() → 2
+      ("classic", Some(39L), Some(1L), Some(0L), None, None, None, None),
+      // .5 tie, odd floor: num=3, den=40 → 7.5 → R round() → 8
+      ("classic", Some(37L), Some(3L), Some(0L), None, None, None, None),
       // stages: (2+3+5)/(2+3+5+10) = 50
       ("stages", None, None, None, Some(2L), Some(3L), Some(5L), Some(10L)),
       // all-NA levels → den 0 → NULL
@@ -53,7 +57,8 @@ class ScalarsSpec extends SparkSpec {
     val got = df.select(Scalars.efficiencyPct($"typ", $"awake", $"asleep", $"restless",
       $"light", $"deep", $"rem", $"wake").as("e")).collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(got.toSeq == Seq(Some(70L), Some(1L), Some(1L), Some(50L), None, None))
+    assert(got.toSeq ==
+      Seq(Some(70L), Some(1L), Some(0L), Some(2L), Some(8L), Some(50L), None, None))
   }
 
   test("weekday label + Between8and2 boundaries") {
