@@ -194,12 +194,7 @@ object Bench {
     // fixed path, wiped before the timed build (createTempDirectory leaked
     // a full tier store per round); the build must start from empty
     val storeRoot = s"/tmp/graft_bench_store_$benchConvs"
-    val rootPath = Paths.get(storeRoot)
-    if (Files.exists(rootPath)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    Fs.deleteTreeQuietly(storeRoot)
     val tStore = System.nanoTime()
     graft.operators.TierStore.sync(spark, srcTable, storeRoot, col("text_len"), parallelism = 8)
     val storeSec = (System.nanoTime() - tStore) / 1e9

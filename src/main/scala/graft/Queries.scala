@@ -31,14 +31,7 @@ object Queries {
   private val exitDeletes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def deleteOnExit(path: String): Unit =
     if (exitDeletes.add(path)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val p = java.nio.file.Paths.get(path)
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
-        }
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => Fs.deleteTreeQuietly(path)))
     }
 
   /** Small single-file tables arrive as ONE input partition, which would
@@ -109,7 +102,7 @@ object Queries {
       .agg(round(MetricRegistry.registry("circular_sd")(Rollup.todHours(col("ts"))) * lit(1e6))
         .cast("long").as("circ_us"))
       .select(col("conv_id"),
-        floor(unix_timestamp(col("day").cast("timestamp")) / 86400).cast("long").as("day_idx"),
+        TimeBuckets.epochIdx(col("day"), 86400L).as("day_idx"),
         col("circ_us"))
   }
 
@@ -908,7 +901,7 @@ object Queries {
         Sliding.slidingStatsExact(daily, col("conv_id"), col("bucket_start"), 86400L, 3,
           Seq("sri" -> col("sri_us")))
           .select(col("conv_id"),
-            floor(unix_timestamp(col("bucket_start")) / 86400).cast("long").as("day_idx"),
+            TimeBuckets.epochIdx(col("bucket_start"), 86400L).as("day_idx"),
             col("sri_us"),
             col("sri_mean").as("sri3_mean_us"),
             col("sri_sd").as("sri3_sd_us"))
@@ -1205,7 +1198,7 @@ object Queries {
           |ef AS (
           |  SELECT conv_id, week_start, eff_vendor,
           |    CASE WHEN den > 0 THEN
-          |      CASE WHEN (200 * num) % (2 * den) = den
+          |      CASE WHEN abs((200 * num) % (2 * den)) = den
           |           THEN CASE WHEN fl % 2 = 0 THEN fl ELSE fl + 1 END
           |           ELSE CAST(floor(CAST(200 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT)
           |      END

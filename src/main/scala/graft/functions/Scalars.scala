@@ -77,7 +77,9 @@ object Scalars {
     val num = when(typ === "classic", numClassic).when(typ === "stages", numStages)
     val den = when(typ === "classic", denClassic).when(typ === "stages", denStages)
     val num200 = lit(200L) * num
-    val isTie = num200 % (lit(2L) * den) === den
+    // abs(): the remainder carries the DIVIDEND's sign in both engines, so
+    // a negative numerator's half-tie shows up as −den, not den
+    val isTie = abs(num200 % (lit(2L) * den)) === den
     val fl = floor((lit(100L) * num).cast("double") / den.cast("double")).cast("long")
     val rnd = floor((num200 + den).cast("double") / (lit(2L) * den).cast("double")).cast("long")
     when(den > 0,

@@ -25,6 +25,18 @@ object TimeBuckets {
   /** Day bucket as a timestamp (00:00). */
   def day(ts: Column): Column = date_trunc("day", ts)
 
+  /** Epoch bucket INDEX of a timestamp at a fixed stride: FLOOR division,
+    * not truncate-toward-zero — pre-1970 timestamps (negative epoch) must
+    * land in the bucket BELOW, consistently with integer floor-div. The
+    * double-division route is exact for any realistic epoch: |seconds| <
+    * 2^53, integer-valued quotients are represented exactly, and a
+    * nonzero fractional part (≥ 1/stepSeconds) dwarfs the division's
+    * rounding error. THE single definition of tick/day/bucket indexing —
+    * Sri ticks, Sliding window indexes, and day_idx outputs all route
+    * here, so the floor semantics can never diverge site-by-site again. */
+  def epochIdx(ts: Column, stepSeconds: Long): Column =
+    floor(unix_timestamp(ts.cast("timestamp")) / stepSeconds).cast("long")
+
   /** Retention-window predicate: keep rows at/after anchor + k months —
     * the reference's post-infection filter
     * (/root/reference/scripts/sleepSD.R:216,226;

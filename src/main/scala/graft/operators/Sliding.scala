@@ -34,11 +34,7 @@ object Sliding {
       width: Int,
       values: Seq[(String, Column)],
       requireComplete: Boolean = true): DataFrame = {
-    // FLOOR, not truncate-toward-zero: pre-1970 buckets (negative epoch)
-    // must index consistently with integer floor-div (same rationale as
-    // Sri.tickOf; exact — the double quotient's fractional part dwarfs its
-    // rounding error and integer-valued quotients are represented exactly)
-    val idx = floor(unix_timestamp(bucket.cast("timestamp")) / stepSeconds).cast("long")
+    val idx = graft.functions.TimeBuckets.epochIdx(bucket, stepSeconds)
     val base = tier.withColumn("_bidx", idx)
     val wr = Window.partitionBy(entity).orderBy(col("_bidx"))
       .rangeBetween(-(width - 1).toLong, 0L)
@@ -102,11 +98,7 @@ object Sliding {
       values: Seq[(String, Column)],
       requireComplete: Boolean = true): DataFrame = {
     require(width >= 2, s"width must be >= 2 for a sample sd, got $width")
-    // FLOOR, not truncate-toward-zero: pre-1970 buckets (negative epoch)
-    // must index consistently with integer floor-div (same rationale as
-    // Sri.tickOf; exact — the double quotient's fractional part dwarfs its
-    // rounding error and integer-valued quotients are represented exactly)
-    val idx = floor(unix_timestamp(bucket.cast("timestamp")) / stepSeconds).cast("long")
+    val idx = graft.functions.TimeBuckets.epochIdx(bucket, stepSeconds)
     val base = tier.withColumn("_bidx", idx)
     val wr = Window.partitionBy(entity).orderBy(col("_bidx"))
       .rangeBetween(-(width - 1).toLong, 0L)

@@ -32,7 +32,10 @@ object Sri {
   /** Two-level dense tick grid: input (e, lo, hi) tick spans → one row per
     * (e, tick) for every tick in [lo, hi]. Level 1 explodes day-sized chunk
     * indices, level 2 the ticks within a chunk clipped to the span — so no
-    * single Generate materializes a whole span. Ticks must be non-negative. */
+    * single Generate materializes a whole span. Negative (pre-1970) ticks
+    * are handled: chunk indexing floor-divides, so a chunk always starts
+    * at/below `lo` (truncation would start above it and silently drop the
+    * ticks in between). */
   private def denseTickGrid(span: DataFrame, tickSeconds: Int): DataFrame = {
     val chunk = math.max(86400L / tickSeconds, 1L) // ≈ one day of ticks
     span
@@ -146,16 +149,10 @@ object Sri {
     keyed.agg(count(lit(1)).as("_disagree"))
   }
 
-  /** Epoch tick index of a timestamp column (UTC session ⇒ lossless).
-    * FLOOR division, not truncation: pre-1970 timestamps (negative epoch)
-    * must land in the tick BELOW, consistently with integer floor-div
-    * semantics — `(unix/tick).cast(long)` truncated toward zero and put
-    * −1s in tick 0. Exact for any realistic epoch: |unix| < 2^53 so the
-    * double quotient's fractional part (≥ 1/tickSeconds when nonzero) dwarfs
-    * its rounding error, and integer-valued quotients are represented
-    * exactly. */
+  /** Epoch tick index of a timestamp column (UTC session ⇒ lossless) —
+    * floor semantics via the single shared [[graft.functions.TimeBuckets.epochIdx]]. */
   private def tickOf(ts: Column, tickSeconds: Int): Column =
-    floor(unix_timestamp(ts.cast("timestamp")) / tickSeconds).cast("long")
+    graft.functions.TimeBuckets.epochIdx(ts, tickSeconds)
 
   /** Episode ticks after keep-last overlap dedup (sri.R:27-39). */
   private def dedupedEpisodeTicks(

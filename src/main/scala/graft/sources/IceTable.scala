@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   * snapshot log itself.
   *
   * Commit protocol (crash-safe, multi-writer CAS — the Iceberg
-  * CAS-on-metadata-pointer idea, done as claim-by-exclusive-create):
+  * CAS-on-metadata-pointer idea, done as a locked no-overwrite claim):
   *   - data is written to a hidden temp dir and RENAMED into a
   *     UUID-named data/d-<uuid> before any metadata references it, so
   *     concurrent writers can never collide on a data path;
@@ -66,11 +66,12 @@ import org.apache.spark.sql.functions._
   *     data/d-<uuid> dir, reclaimed by `vacuum` after its grace window;
   *   - atomicity of the claim is the storage layer's no-overwrite rename
   *     (server-side atomic on HDFS; object stores need a conditional-put
-  *     committer); on LOCAL FS — where POSIX rename overwrites — the claim
-  *     is an atomic exclusive-create marker (O_CREAT|O_EXCL) guarding the
-  *     rename, so cross-PROCESS local writers are linearized too (an
-  *     in-JVM lock still serializes same-process writers cheaply; a
-  *     crash-orphaned marker is broken after a stale window);
+  *     committer); on LOCAL FS — where POSIX rename overwrites — the
+  *     check-then-rename runs under an OS advisory file lock on a
+  *     permanent per-table lock file, so cross-PROCESS local writers are
+  *     linearized too, and a crashed holder's lock is released by the
+  *     kernel (no orphaned claim state; an in-JVM monitor still
+  *     serializes same-process writers cheaply);
   *   - the key index is written strictly AFTER the claim, so it can only
   *     ever be STALE, never ahead — `syncKeyIndex` heals staleness by
   *     walking just the (indexed, CURRENT] gap;
@@ -236,12 +237,9 @@ final class IceTable(val root: String) {
     * (POSIX rename overwrites), so two writers in different PROCESSES
     * could both "win" one id and silently lose a committed append — there
     * the rename is additionally guarded by an atomic exclusive-create
-    * claim marker (`v<id>.json.claim`, java.io O_CREAT|O_EXCL): only the
-    * marker holder may rename, and the marker is only released after the
-    * winner's dst exists, so a later claimant always observes it. A marker
-    * orphaned by a crash is broken after `ClaimStaleMs` (competitors sleep
-    * briefly per lost attempt, so the commit retry loop spans the stale
-    * window instead of burning through its attempt budget first). */
+    * OS file lock (see [[claimLocalFs]]): only the lock holder may
+    * check-and-rename, and the kernel releases the lock on process death,
+    * so a crash can never orphan the claim. */
   private[graft] def tryClaimSnapshot(s: Snapshot): Boolean = {
     fs.mkdirs(snapDir)
     val dst = new Path(snapDir, f"v${s.id}%05d.json")
@@ -268,55 +266,49 @@ final class IceTable(val root: String) {
 
   private def isLocalFs: Boolean = "file" == fs.getUri.getScheme
 
-  /** Local-FS claim: atomically create `dst.claim` (File.createNewFile is
-    * O_CREAT|O_EXCL — a true cross-process atomic, unlike local rename or
-    * FileSystem.create(overwrite=false), which are both check-then-act);
-    * the holder re-checks dst (a competitor that held the marker before us
-    * must have completed its rename before releasing it), renames, and
-    * releases. Losers sleep ~50ms so claimCommit's bounded retry loop
-    * outlasts `ClaimStaleMs` and can break a crash-orphaned marker.
-    *
-    * The stale window makes this a LEASE: a live holder stalled for more
-    * than `ClaimStaleMs` between its dst-check and rename (e.g. a
-    * pathological GC pause) could have its marker broken and race the
-    * breaker's successor — the standard lease caveat, with the window set
-    * four orders of magnitude above the held section's observed latency
-    * (two filesystem metadata ops). */
+  /** Local-FS claim, serialized by an OS-mediated advisory file lock on a
+    * PERMANENT per-table lock file (`snapshots/.commit.lock`): the holder
+    * re-checks dst under the lock (local POSIX rename overwrites, so the
+    * check-then-rename must be mutually excluded) and renames. Why a
+    * kernel lock and not a marker-file protocol: FileChannel.tryLock is a
+    * true cross-process atomic that the OS RELEASES ON PROCESS DEATH —
+    * no crash-orphaned state, hence no stale-window heuristics; every
+    * path-based marker scheme (exclusive-create + delete/rename-to-break)
+    * re-races on break because file operations act on paths, not
+    * identities, so a delayed breaker can always destroy a successor's
+    * fresh marker. The lock file is NEVER deleted (deleting a lock file
+    * lets one claimant lock the old inode while another locks a newly
+    * created file at the same path — two "holders"); it is one empty file
+    * per table. Same-JVM claimants contending here (normally prevented by
+    * claimCommit's monitor) surface as OverlappingFileLockException or a
+    * null tryLock — both read as claim-lost. Losers sleep ~50ms so the
+    * bounded retry loop yields to a mid-rename competitor. */
   private def claimLocalFs(tmp: Path, dst: Path): Boolean = {
-    val marker = new java.io.File(
-      fs.makeQualified(new Path(snapDir, dst.getName + ".claim")).toUri.getPath)
-    val created =
-      try marker.createNewFile()
-      catch { case _: java.io.IOException => false }
-    if (!created) {
-      fs.delete(tmp, false): Unit
-      if (!fs.exists(dst) && marker.exists()
-          && System.currentTimeMillis() - marker.lastModified() > IceTable.ClaimStaleMs) {
-        // crash-orphaned claim — break it ATOMICALLY by renaming to a
-        // unique tombstone: only one breaker's rename can succeed, so a
-        // delayed breaker can never delete a FRESH marker that another
-        // breaker-then-claimant created after winning the break (a
-        // delete-by-path here would race exactly that way and let two
-        // "holders" both rename over one id); a losing renameTo is a no-op
-        val tomb = new java.io.File(marker.getParentFile,
-          s".${marker.getName}.broken-${java.util.UUID.randomUUID()}")
-        if (marker.renameTo(tomb)) tomb.delete(): Unit
-      } else if (!fs.exists(dst)) {
-        Thread.sleep(50) // live competitor mid-rename (or orphan aging out)
+    val lockPath = java.nio.file.Paths.get(
+      fs.makeQualified(new Path(snapDir, ".commit.lock")).toUri.getPath)
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (lock == null) {
+        fs.delete(tmp, false): Unit
+        Thread.sleep(50) // competitor holds the commit lock — yield, retry
+        false
+      } else {
+        try {
+          if (fs.exists(dst)) { fs.delete(tmp, false); false }
+          else {
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
+              java.nio.file.Paths.get(fs.makeQualified(dst).toUri),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          }
+        } finally lock.release()
       }
-      false
-    } else {
-      try {
-        if (fs.exists(dst)) { fs.delete(tmp, false); false }
-        else {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
-            java.nio.file.Paths.get(fs.makeQualified(dst).toUri),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        }
-      } finally marker.delete(): Unit
-    }
+    } finally ch.close()
   }
 
   /** Linearized commit: build the snapshot against the CURRENT parent,
@@ -635,13 +627,6 @@ final class IceTable(val root: String) {
 object IceTable {
   /** Delta-chain bound: every BaseEvery-th append writes a full manifest. */
   val BaseEvery = 64
-
-  /** Age after which a local-FS claim marker is presumed crash-orphaned
-    * and may be broken by a competing claimant. A live holder's
-    * marker-to-release span is one rename + one exists-check (millis);
-    * 30s gives four orders of magnitude of slack while staying inside the
-    * span of claimCommit's sleep-backed retry budget (1000 × ~50ms). */
-  private[sources] val ClaimStaleMs = 30000L
 
   /** Per-root commit monitors: serializes same-JVM writers (cheaper than
     * marker contention; cross-process local-FS writers are serialized by

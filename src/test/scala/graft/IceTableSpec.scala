@@ -305,9 +305,9 @@ class IceTableSpec extends SparkSpec {
   test("cross-process claim race: exactly one of N concurrent claimants wins an id") {
     // drives tryClaimSnapshot DIRECTLY from distinct IceTable instances,
     // bypassing the in-JVM commit lock (claimCommit's monitor) — the
-    // local-FS exclusive-create marker is then the ONLY serialization, the
-    // same situation as N separate processes claiming one id. POSIX rename
-    // overwrites, so without the marker several claimants could each
+    // local-FS OS file lock is then the ONLY serialization, the same
+    // situation as N separate processes claiming one id. POSIX rename
+    // overwrites, so without the lock several claimants could each
     // "succeed" and silently drop all but the last snapshot JSON.
     val root = tmp("ice")
     val n = 8
@@ -333,8 +333,8 @@ class IceTableSpec extends SparkSpec {
     val json = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/snapshots/v00002.json"))
     assert(json.contains(s"claimant-$winner"), "the committed JSON must be the winner's, intact")
-    assert(!new java.io.File(s"$root/snapshots/v00002.json.claim").exists(),
-      "the claim marker is released after the commit")
+    assert(new java.io.File(s"$root/snapshots/.commit.lock").exists(),
+      "the permanent per-table commit-lock file exists (never deleted - see claimLocalFs)")
   }
 
   test("checkpointed rollup resumes after crash with identical output") {

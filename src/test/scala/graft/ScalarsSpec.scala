@@ -47,6 +47,9 @@ class ScalarsSpec extends SparkSpec {
       ("classic", Some(39L), Some(1L), Some(0L), None, None, None, None),
       // .5 tie, odd floor: num=3, den=40 → 7.5 → R round() → 8
       ("classic", Some(37L), Some(3L), Some(0L), None, None, None, None),
+      // NEGATIVE .5 tie (remainder carries the dividend's sign — abs()):
+      // num=-7, den=200 → -3.5 → R round() → -4 (floor -4 is even)
+      ("classic", Some(207L), Some(-7L), Some(0L), None, None, None, None),
       // stages: (2+3+5)/(2+3+5+10) = 50
       ("stages", None, None, None, Some(2L), Some(3L), Some(5L), Some(10L)),
       // all-NA levels → den 0 → NULL
@@ -58,7 +61,7 @@ class ScalarsSpec extends SparkSpec {
       $"light", $"deep", $"rem", $"wake").as("e")).collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(got.toSeq ==
-      Seq(Some(70L), Some(1L), Some(0L), Some(2L), Some(8L), Some(50L), None, None))
+      Seq(Some(70L), Some(1L), Some(0L), Some(2L), Some(8L), Some(-4L), Some(50L), None, None))
   }
 
   test("weekday label + Between8and2 boundaries") {
