@@ -1598,6 +1598,65 @@ object Queries {
         Similarity.ivfTopK(wide(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 5),
       None)),
 
+    // Embedding-cosine near-dup PAIRS (the dedup family's similarity
+    // instantiation): full-probe IVF candidates ≡ all pairs, verified by
+    // the deterministic quantized cosine, threshold 0.3 (~990 pairs at
+    // sf0.01 on these weakly-clustered vectors; max pairwise cosine 0.51).
+    // The emitted cos is bit-identical on both sides (exact int64
+    // dot/norms + one fixed FP sequence — see QuantCosine).
+    "q_embed_dup_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        val qv = wide(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * lit(1048576.0))).as("qemb"))
+        Similarity.cosineDupPairs(qv, col("vec_id"), col("qemb"), threshold = 0.3,
+          nLists = 32, nProbe = 32, sim = graft.plans.QuantCosine.quantCosine)
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1048576.0) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |n AS (
+          |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm
+          |  FROM q),
+          |p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot,
+          |    a.nrm AS na, b.nrm AS nb
+          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b,
+          |  CASE WHEN na > 0 AND nb > 0
+          |    THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+          |    ELSE 0.0 END AS cos
+          |FROM p
+          |WHERE CASE WHEN na > 0 AND nb > 0
+          |    THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+          |    ELSE 0.0 END >= 0.3""".stripMargin))),
+
+    // Subword (BPE-ish) counting + punctuation-ratio quality signals over
+    // documents — the remaining TextFunctions pair without a driver row.
+    // subwordCount splits at every boundary adjacent to ASCII
+    // whitespace/punctuation and keeps pieces whose trim (ASCII spaces
+    // only!) is non-empty, which decomposes exactly into: maximal
+    // word-char runs + individual punctuation chars + individual
+    // NON-SPACE whitespace chars (a "\t" piece survives trim) — the
+    // oracle counts the three classes directly since RE2 has no
+    // lookarounds to replay the split.
+    "q_subword_punct" -> ((
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio")),
+      Some(
+        """SELECT doc_id,
+          |  len(list_filter(regexp_split_to_array(text, '[[:space:][:punct:]]+'), x -> x <> ''))
+          |    + (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+          |    + (length(text) - length(regexp_replace(text, '[\t\n\v\f\r]', '', 'g'))) AS n_subwords,
+          |  CASE WHEN length(text) > 0
+          |    THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+          |      / length(text) END AS punct_ratio
+          |FROM documents""".stripMargin))),
+
     // Driver-checkable ANN correctness: the ENTIRE IVF machinery
     // (hash-seeded Lloyd centroids → IvfProbes assignment → one-list-per-
     // vector index → probed-list candidate join → per-query ranking) run

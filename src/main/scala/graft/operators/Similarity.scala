@@ -202,6 +202,38 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Embedding-cosine NEAR-DUP PAIRS — the similarity-search instantiation
+    * of the dedup family's blocking contract: every unordered pair (id_a <
+    * id_b) whose verification cosine ≥ `threshold`, candidates limited to
+    * IVF probed lists (each vector lives in exactly ONE list, so a
+    * candidate pair meets at most once — no pair-dedup shuffle, the same
+    * property ivfTopK relies on). At `nProbe = nLists` the candidate set
+    * is ALL pairs and the result is exact (how q_embed_dup_pairs is
+    * driver-verified against a brute-force oracle); at partial probe it is
+    * the scale path with the documented IVF recall shape — a pair is found
+    * when the LOWER id's vector probes the higher id's list (asymmetric:
+    * the a<b restriction halves candidate volume; callers needing
+    * both-direction recall at partial probe can union the transposed
+    * call). `sim` as in [[ivfTopK]] (pass QuantCosine + pre-quantized
+    * embeddings for a cross-engine-deterministic result). */
+  def cosineDupPairs(
+      df: DataFrame,
+      id: Column,
+      emb: Column,
+      threshold: Double,
+      nLists: Int = 32,
+      nProbe: Int = 20,
+      lloydIters: Int = 3,
+      sim: (Column, Column) => Column = graft.plans.CosineSim.cosineSim): DataFrame = {
+    val (vecs, indexed, probed) = ivfParts(df, id, emb, nLists, nProbe, lloydIters)
+    probed.join(indexed, Seq("list"))
+      .where(col("vec_id") < col("neighbour_id"))
+      .join(vecs.select(col("id").as("vec_id"), col("e").as("e_a")), Seq("vec_id"))
+      .select(col("vec_id").as("id_a"), col("neighbour_id").as("id_b"),
+        sim(col("e_a"), col("e_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** IVF internals exposed for specs: (vecs(id, e), indexed(neighbour_id,
     * e_b, list), probed(vec_id, list)) — lets tests assert the structural
     * candidate bound (list sizes), which the public result hides. */

@@ -103,4 +103,22 @@ class CosineSimSpec extends SparkSpec {
     assert(top(q, QuantCosine.quantCosine($"qe", typedlit(probe)))
       == top(emb, CosineSim.cosineSim($"embedding", typedlit(fpProbe))))
   }
+
+  test("cosineDupPairs: full probe equals brute-force pairs; partial probe is a subset") {
+    import graft.operators.Similarity
+    import graft.plans.QuantCosine
+    val q = emb.select($"vec_id",
+      transform($"embedding", x => round(x.cast("double") * lit(1048576.0))).as("qe"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val brute = q.as("a").join(q.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        QuantCosine.quantCosine($"a.qe", $"b.qe").as("c"))
+      .where($"c" >= 0.3).collect().map(key).toSet
+    val full = Similarity.cosineDupPairs(q, $"vec_id", $"qe", 0.3,
+      nLists = 32, nProbe = 32, sim = QuantCosine.quantCosine).collect().map(key).toSet
+    assert(full == brute && brute.nonEmpty)
+    val partial = Similarity.cosineDupPairs(q, $"vec_id", $"qe", 0.3,
+      nLists = 32, nProbe = 8, sim = QuantCosine.quantCosine).collect().map(key).toSet
+    assert(partial.subsetOf(brute), "partial probe must never invent pairs")
+  }
 }

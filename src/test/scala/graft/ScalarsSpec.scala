@@ -64,6 +64,19 @@ class ScalarsSpec extends SparkSpec {
       Seq(Some(70L), Some(1L), Some(0L), Some(2L), Some(8L), Some(-4L), Some(50L), None, None))
   }
 
+  test("epochIdx floors negative (pre-1970) epochs instead of truncating toward zero") {
+    import graft.functions.TimeBuckets
+    val got = Seq(
+      "1969-12-31 23:59:59", // epoch −1 → day −1 (truncation would say 0)
+      "1970-01-01 00:00:00", // epoch 0 → day 0
+      "1969-12-30 00:00:01", // epoch −172799 → −1.99…, floor → −2
+      "1970-01-02 12:00:00") // epoch 129600 → 1.5, floor → 1
+      .toDF("t")
+      .select(TimeBuckets.epochIdx($"t", 86400L).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-1L, 0L, -2L, 1L))
+  }
+
   test("weekday label + Between8and2 boundaries") {
     val df = Seq("2025-01-06 20:00:00", "2025-01-07 02:00:00", "2025-01-08 02:00:01", "2025-01-09 19:59:59")
       .toDF("tss").withColumn("ts", to_timestamp($"tss"))
