@@ -22,5 +22,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GorillaExplode].getName, "gorilla_explode"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GorillaExplode(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("quant_cosine"),
+      new ExpressionInfo(classOf[QuantCosine].getName, "quant_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantCosine(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("char_shingle_hashes"),
+      new ExpressionInfo(classOf[TextHashes.CharShingleHashes].getName, "char_shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextHashes.CharShingleHashes(exprs.head, TextHashes.intArg(exprs(1), "char_shingle_hashes"))))
+    e.injectFunction((
+      new FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[TextHashes.WordShingleHashes].getName, "word_shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextHashes.WordShingleHashes(exprs.head, TextHashes.intArg(exprs(1), "word_shingle_hashes"))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[TextHashes.MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextHashes.MinHashSig(exprs.head, TextHashes.intArg(exprs(1), "minhash_sig"))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[TextHashes.SimHashText].getName, "simhash_text"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextHashes.SimHashText(exprs.head)))
   }
 }

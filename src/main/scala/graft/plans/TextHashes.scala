@@ -400,6 +400,21 @@ object TextHashes {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, uniq))
   }
 
+  /** Foldable-int argument extraction for the SQL function registrations
+    * (GraftExtensions): the width/k parameters parameterize generated code
+    * and so must be literals at plan time. */
+  private[plans] def intArg(e: Expression, fn: String): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: expected a literal int argument, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the int parameter must be a literal (it is baked into generated code)")
+  }
+
   /** Column surfaces. */
   def minHashSig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))

@@ -55,8 +55,13 @@ class CosineSimSpec extends SparkSpec {
 
   test("GraftExtensions injects cosine_sim for a fresh session (spark-submit path)") {
     import org.apache.spark.sql.SparkSession
-    // newSession shares the context but gets fresh state; extensions apply
-    // at builder time, so build a session with withExtensions
+    // extensions apply only when the builder actually CREATES a session —
+    // getOrCreate would otherwise return the active suite session (whose
+    // cosine_sim comes from the per-session register call in another test,
+    // which made this test pass vacuously). Clear active/default so a
+    // fresh session (sharing the context) is built with the extensions.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder()
       .master("local[2]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -65,9 +70,24 @@ class CosineSimSpec extends SparkSpec {
     try {
       val r = s2.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head()
       assert(r.getDouble(0) == 1.0)
+      // the full custom-expression surface is SQL-reachable
+      assert(s2.sql("SELECT quant_cosine(array(3L, 4L), array(3L, 4L)) AS c")
+        .head().getDouble(0) == 1.0)
+      assert(s2.sql("SELECT size(char_shingle_hashes('abcd', 3)) AS n").head().getInt(0) == 2)
+      assert(s2.sql("SELECT size(word_shingle_hashes('a b c d', 2)) AS n").head().getInt(0) == 3)
+      assert(s2.sql("SELECT size(minhash_sig(array('x'), 8)) AS n").head().getInt(0) == 8)
+      assert(s2.sql("SELECT simhash_text('hello world') AS f").head().getLong(0) != 0L)
+      // non-literal width is rejected with a clear message, not garbage codegen
+      val e = intercept[Exception](
+        s2.sql("SELECT char_shingle_hashes('ab', CAST(length('abc') AS INT) + id) FROM range(1)")
+          .collect())
+      assert(e.getMessage.contains("literal") ||
+        Option(e.getCause).exists(_.getMessage.contains("literal")))
     } finally {
-      // do not stop: shares the SparkContext with the suite session
+      // do not stop: shares the SparkContext with the suite session;
+      // restore BOTH registries (we cleared default above)
       SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
     }
   }
 
