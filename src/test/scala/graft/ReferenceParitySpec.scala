@@ -151,6 +151,34 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  test("episode SRI: sparse equals dense on PRE-1970 (negative-tick) episodes") {
+    import graft.operators.Sri
+    // negative epochs exercise the floor-division sweep end-to-end: tick
+    // indexing (tickOf), the dense grid's chunk explode, and the span
+    // arithmetic all floor — truncation toward zero would shift day
+    // boundaries and (in the dense form) silently drop the ticks between
+    // trunc(lo/chunk)·chunk and lo
+    val eps = Seq(
+      ("p1", "1969-12-29 00:00:00", "1969-12-29 08:00:00", 1, 1),
+      ("p1", "1969-12-30 02:00:00", "1969-12-30 06:00:00", 1, 2),
+      ("p1", "1969-12-31 22:00:00", "1970-01-01 02:00:00", 1, 3), // straddles epoch 0
+      ("p2", "1969-12-31 12:00:00", "1969-12-31 20:00:00", 1, 1),
+      ("p2", "1970-01-01 12:00:00", "1970-01-01 16:00:00", 1, 2))
+      .toDF("conv_id", "start", "end", "status", "src")
+      .select($"conv_id", to_timestamp($"start").as("start"),
+        to_timestamp($"end").as("end"), $"status", $"src")
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("sri")).toMap
+    val sparse = scores(Sri.episodeSri(eps, $"conv_id", $"start", $"end", $"status", $"src",
+      tickSeconds = 30, lagTicks = 2880))
+    val dense = scores(Sri.episodeSriDense(eps, $"conv_id", $"start", $"end", $"status", $"src",
+      tickSeconds = 30, lagTicks = 2880))
+    assert(sparse.keySet == dense.keySet && sparse.keySet == Set("p1", "p2"))
+    sparse.keySet.foreach { e =>
+      assert(math.abs(sparse(e) - dense(e)) < 1e-9, s"$e: sparse=${sparse(e)} dense=${dense(e)}")
+    }
+  }
+
   test("F3 sliding SRI: bucketed daily scores + sliding window composition (sri.R:96-121,181-195)") {
     import graft.operators.{Sliding, Sri}
     // 4 days of turns: same 3 active hours daily except day 3 shifts by 2h
