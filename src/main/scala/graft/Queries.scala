@@ -125,6 +125,18 @@ object Queries {
        |      + avg(cos(2*pi()*$todHoursDuck/24.0))^2), 1.0))) * (24.0 / (2*pi())) * 1000000.0) AS BIGINT) AS circ_us
        |  FROM r GROUP BY 1, 2)""".stripMargin
 
+  /** Shared DuckDB CTE prefix of the quantized-embedding oracles
+    * (q_ann_ivf_recall, q_embed_dup_pairs): integer-quantized vectors `q`
+    * and their exact integer norms `n` — the mirror of
+    * [[graft.plans.QuantCosine.quantizeEmb]]. */
+  private val quantEmbDuck: String =
+    """q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1048576.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q)""".stripMargin
+
   // ------------------------------------------------- core timeseries queries
 
   private val core: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -1607,30 +1619,24 @@ object Queries {
     "q_embed_dup_pairs" -> ((
       (s: SparkSession, dir: String) => {
         val qv = wide(s, dir, "embeddings").select(col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * lit(1048576.0))).as("qemb"))
+          graft.plans.QuantCosine.quantizeEmb(col("embedding")).as("qemb"))
         Similarity.cosineDupPairs(qv, col("vec_id"), col("qemb"), threshold = 0.3,
           nLists = 32, nProbe = 32, sim = graft.plans.QuantCosine.quantCosine)
       },
       Some(
-        """WITH q AS (
-          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1048576.0) AS BIGINT)) AS v
-          |  FROM embeddings),
-          |n AS (
-          |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm
-          |  FROM q),
-          |p AS (
-          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          |    CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot,
-          |    a.nrm AS na, b.nrm AS nb
-          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-          |SELECT id_a, id_b,
-          |  CASE WHEN na > 0 AND nb > 0
-          |    THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-          |    ELSE 0.0 END AS cos
-          |FROM p
-          |WHERE CASE WHEN na > 0 AND nb > 0
-          |    THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-          |    ELSE 0.0 END >= 0.3""".stripMargin))),
+        s"""WITH $quantEmbDuck,
+           |p AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot,
+           |    a.nrm AS na, b.nrm AS nb
+           |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+           |r AS (
+           |  SELECT id_a, id_b,
+           |    CASE WHEN na > 0 AND nb > 0
+           |      THEN CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+           |      ELSE 0.0 END AS cos
+           |  FROM p)
+           |SELECT id_a, id_b, cos FROM r WHERE cos >= 0.3""".stripMargin))),
 
     // Subword (BPE-ish) counting + punctuation-ratio quality signals over
     // documents — the remaining TextFunctions pair without a driver row.
@@ -1654,7 +1660,7 @@ object Queries {
           |    + (length(text) - length(regexp_replace(text, '[\t\n\v\f\r]', '', 'g'))) AS n_subwords,
           |  CASE WHEN length(text) > 0
           |    THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-          |      / length(text) END AS punct_ratio
+          |      / length(text) ELSE 0.0 END AS punct_ratio
           |FROM documents""".stripMargin))),
 
     // Driver-checkable ANN correctness: the ENTIRE IVF machinery
@@ -1675,19 +1681,14 @@ object Queries {
     "q_ann_ivf_recall" -> ((
       (s: SparkSession, dir: String) => {
         val qv = wide(s, dir, "embeddings").select(col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * lit(1048576.0))).as("qemb"))
+          graft.plans.QuantCosine.quantizeEmb(col("embedding")).as("qemb"))
         Similarity.ivfTopK(qv, col("vec_id"), col("qemb"), k = 5, nLists = 32, nProbe = 32,
           sim = graft.plans.QuantCosine.quantCosine)
           .select(col("vec_id"), col("rank"), col("neighbour_id"))
       },
       Some(
-        """WITH q AS (
-          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1048576.0) AS BIGINT)) AS v
-          |  FROM embeddings),
-          |n AS (
-          |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm
-          |  FROM q),
-          |p AS (
+        s"""WITH $quantEmbDuck,
+           |p AS (
           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbour_id,
           |    CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot,
           |    a.nrm AS na, b.nrm AS nb

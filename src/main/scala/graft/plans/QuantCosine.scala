@@ -104,4 +104,20 @@ object QuantCosine {
   /** Column-API surface. */
   def quantCosine(a: Column, b: Column): Column =
     Bridge.column(QuantCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  /** THE quantization scale (2^20): |x| ≤ 1 floats quantize to ≤ 2^20,
+    * keeping 64-dim dot/norm sums ≤ 2^46 in int64, and k·2^20 + 0.5 tie
+    * points are float-representable with both engines rounding
+    * half-away-from-zero identically. */
+  val Scale: Double = 1048576.0
+
+  /** The single definition of the integer-quantized embedding projection
+    * (integral doubles; consumed by [[quantCosine]]) — the DuckDB mirror
+    * is `list_transform(emb, x -> CAST(round(x * 1048576.0) AS BIGINT))`.
+    * One definition on each side: a scale or rounding change must happen
+    * here and in the oracles' shared CTE, nowhere else. */
+  def quantizeEmb(emb: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, round, transform}
+    transform(emb, x => round(x.cast("double") * lit(Scale)))
+  }
 }

@@ -36,6 +36,7 @@ object TextHashes {
     * WordShingleHashes emits): the string hash is then skipped and the int
     * mixes chain from the given base, producing bit-identical signatures. */
   case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"minhash signature length must be >= 1, got $k")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -407,9 +408,9 @@ object TextHashes {
     case lit if lit.foldable =>
       lit.eval(null) match {
         case i: Int => i
-        case l: Long => l.toInt
+        case l: Long if l.isValidInt => l.toInt
         case other => throw new IllegalArgumentException(
-          s"$fn: expected a literal int argument, got $other")
+          s"$fn: expected a literal int argument in Int range, got $other")
       }
     case _ => throw new IllegalArgumentException(
       s"$fn: the int parameter must be a literal (it is baked into generated code)")

@@ -114,8 +114,7 @@ class CosineSimSpec extends SparkSpec {
       == Seq(0.0, 0.0))
     // quantization at scale 2^20 on real float embeddings ranks identically
     // to FP cosine on this data (sanity: top-1 neighbour of vec 0 agrees)
-    val q = emb.select($"vec_id",
-      transform($"embedding", x => round(x.cast("double") * lit(1048576.0))).as("qe"))
+    val q = emb.select($"vec_id", QuantCosine.quantizeEmb($"embedding").as("qe"))
     val probe = q.where($"vec_id" === 0).head().getSeq[Double](1)
     val fpProbe = emb.where($"vec_id" === 0).head().getSeq[Float](1)
     def top(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
@@ -127,8 +126,7 @@ class CosineSimSpec extends SparkSpec {
   test("cosineDupPairs: full probe equals brute-force pairs; partial probe is a subset") {
     import graft.operators.Similarity
     import graft.plans.QuantCosine
-    val q = emb.select($"vec_id",
-      transform($"embedding", x => round(x.cast("double") * lit(1048576.0))).as("qe"))
+    val q = emb.select($"vec_id", QuantCosine.quantizeEmb($"embedding").as("qe"))
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val brute = q.as("a").join(q.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id", $"b.vec_id",
