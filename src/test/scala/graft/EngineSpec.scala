@@ -121,6 +121,41 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup: cross-micro-batch duplicates dropped within the watermark horizon") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamDedup
+    // two parquet FILES = two micro-batches (maxFilesPerTrigger=1), each
+    // carrying one copy of every row — duplicate suppression must span
+    // batches through the keyed state, not just within one batch
+    val rows = Seq(
+      (1L, "2025-01-01 10:00:00", "hello world"),
+      (2L, "2025-01-01 10:05:00", "Hello   WORLD"), // same normalized content, different key
+      (3L, "2025-01-01 10:10:00", "something else"))
+      .toDF("conv_id", "ts", "text")
+      .select($"conv_id", to_timestamp($"ts").as("ts"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    rows.coalesce(1).write.parquet(s"$dir/f1")
+    rows.coalesce(1).write.parquet(s"$dir/f2") // exact replay of every row
+    val schema = rows.schema
+    def run(name: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val st = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+      val q = f(st).writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow()).format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    // exact keys: the 3 distinct rows survive, the replayed copies drop
+    val exact = run("sd_exact")(StreamDedup.dropDupes(_, "ts", "1 hour", Seq("conv_id", "ts", "text")))
+    assert(exact.count() == 3 && exact.select($"conv_id").distinct().count() == 3)
+    // content canonicalization: rows 1 and 2 share a normalized fingerprint
+    // → 2 survivors total (one per content), batch-canonical parity
+    val content = run("sd_content")(StreamDedup.dropDupContent(_, "ts", "1 hour", $"text"))
+    assert(content.count() == 2)
+    val batchFps = rows.select(graft.functions.TextFunctions.fingerprint($"text")).distinct().count()
+    assert(content.select($"content_fp").distinct().count() == batchFps)
+  }
+
   test("streaming 1m tier over sf0.01 events equals the batch tier in FULL (row-for-row)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamTier
