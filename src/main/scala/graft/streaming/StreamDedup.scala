@@ -33,10 +33,15 @@ object StreamDedup {
     * normalized-content fingerprint (case/whitespace-insensitive, the
     * same `TextFunctions.fingerprint` the batch canonicalizer keys on)
     * within the watermark horizon. The fingerprint rides along as
-    * `content_fp` for downstream lineage. */
-  def dropDupContent(stream: DataFrame, tsCol: String, lateness: String, text: Column): DataFrame =
+    * `content_fp` for downstream lineage; the input must not already
+    * carry a `content_fp` column (withColumn would silently replace an
+    * upstream-stamped value — rejected here instead). */
+  def dropDupContent(stream: DataFrame, tsCol: String, lateness: String, text: Column): DataFrame = {
+    require(!stream.columns.contains("content_fp"),
+      "dropDupContent emits its own content_fp column; rename the input's first")
     stream
       .withColumn("content_fp", TextFunctions.fingerprint(text))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("content_fp")
+  }
 }
