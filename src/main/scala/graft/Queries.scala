@@ -462,16 +462,20 @@ object Queries {
           |FROM w""".stripMargin))),
 
     // D2 keep-last per (entity, bucket) — overlapping-episode dedup.
+    // Keep-last as a hash aggregate (row of the max event_id via max_by)
+    // instead of a row_number window: event_id is unique, so the picked
+    // row is identical, but the aggregate PARTIALLY combines map-side (the
+    // shuffle carries one candidate row per (entity, bucket) per task, not
+    // every raw row) and needs no per-partition sort — the shape that
+    // survives 10^12-row groups where a sort-window straggles.
     "q_keep_last" -> ((
       (s: SparkSession, dir: String) => {
-        val w = Window
-          .partitionBy(col("user_id"), date_trunc("minute", col("ts")))
-          .orderBy(col("event_id").desc)
         events(s, dir)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("event_id"), col("user_id").as("conv_id"),
-            date_trunc("minute", col("ts")).as("bucket_start"), col("event_type"), col("value"))
+          .groupBy(col("user_id").as("conv_id"), date_trunc("minute", col("ts")).as("bucket_start"))
+          .agg(max_by(
+            struct(col("event_id"), col("event_type"), col("value")), col("event_id")).as("_r"))
+          .select(col("_r.event_id").as("event_id"), col("conv_id"), col("bucket_start"),
+            col("_r.event_type").as("event_type"), col("_r.value").as("value"))
       },
       Some(
         """SELECT event_id, user_id AS conv_id, date_trunc('minute', ts) AS bucket_start,
@@ -677,7 +681,16 @@ object Queries {
         // transition rows produced NO row in the joined frame (NULL after
         // the left join, skipped by the daily avg), so the fused counts
         // null out zeros via when(sum > 0, sum).
-        val base = Dedup.exact(events(s, dir)).select(
+        // ONE exchange for the whole composition: hash(user_id) satisfies
+        // the clustering every downstream operator needs — the D1 distinct
+        // (equal full rows share a user_id), the per-episode window and
+        // aggregate (keys start with user_id), and the daily aggregate —
+        // so the explicit repartition replaces what was otherwise three
+        // full-width shuffles (distinct, window sort, daily agg). Same
+        // trade as Rollup.cascadeCoPartitioned: ship raw rows once instead
+        // of shuffling per stage; a mega-entity lands in one task, which
+        // is the reference's per-user grouping contract anyway.
+        val base = Dedup.exact(events(s, dir).repartition(col("user_id"))).select(
           col("user_id"),
           date_trunc("day", col("ts")).as("day"),
           floor(hour(col("ts")) / 8).cast("int").as("ep"),

@@ -61,6 +61,11 @@ object CheckpointedRollup {
     def pendingDays: Seq[Long]
     def dayFingerprint(dayUs: Long): Long
     def scanDay(spark: SparkSession, dayUs: Long): org.apache.spark.sql.DataFrame
+    /** Scan several days as ONE relation (one Spark job for a whole batch
+      * of day units — see runUnits batching). Default: union of per-day
+      * scans; sources override with a single pruned scan. */
+    def scanDays(spark: SparkSession, daysUs: Seq[Long]): org.apache.spark.sql.DataFrame =
+      daysUs.map(scanDay(spark, _)).reduce(_.unionByName(_))
     /** Lineage id recorded in each marker (source snapshot id or 0). */
     def lineageId: Long
   }
@@ -82,6 +87,14 @@ object CheckpointedRollup {
     def scanDay(spark: SparkSession, dayUs: Long): org.apache.spark.sql.DataFrame =
       table.scan(spark, dayUs, dayUs + DayUs - 1)
         .where(col(tsCol) >= timestamp_micros(lit(dayUs)) && col(tsCol) < timestamp_micros(lit(dayUs + DayUs)))
+    override def scanDays(spark: SparkSession, daysUs: Seq[Long]): org.apache.spark.sql.DataFrame = {
+      // one stat-pruned scan over the batch's envelope; an OR of per-day
+      // ranges keeps skipped (unchanged) days inside the envelope out
+      val inDay = daysUs
+        .map(d => col(tsCol) >= timestamp_micros(lit(d)) && col(tsCol) < timestamp_micros(lit(d + DayUs)))
+        .reduce(_ || _)
+      table.scan(spark, daysUs.min, daysUs.max + DayUs - 1).where(inDay)
+    }
     def lineageId: Long = table.currentSnapshotId
   }
 
@@ -110,6 +123,8 @@ object CheckpointedRollup {
     }
     def scanDay(sparkS: SparkSession, dayUs: Long): org.apache.spark.sql.DataFrame =
       sparkS.read.parquet(s"$dir/day=$dayUs")
+    override def scanDays(sparkS: SparkSession, daysUs: Seq[Long]): org.apache.spark.sql.DataFrame =
+      sparkS.read.parquet(daysUs.map(d => s"$dir/day=$d"): _*)
     def lineageId: Long = 0L
   }
 
@@ -162,29 +177,78 @@ object CheckpointedRollup {
     * day's rows and commit the result dir + marker atomically. `failAfter`
     * injects a crash after N completed units — used by the resume tests
     * (only meaningful with parallelism=1). `parallelism` bounds how many
-    * day jobs are in flight concurrently (independent Spark jobs; results
+    * unit jobs are in flight concurrently (independent Spark jobs; results
     * are per-day and order-independent). Returns per-day results in day
-    * order. */
+    * order.
+    *
+    * `dayBucket` (optional) names an OUTPUT column whose event-time day
+    * identifies the day unit every output row belongs to (e.g.
+    * `col("bucket_start")` for tier rollups — 1m/1h/1d windows never
+    * straddle a day). When set, to-run days are grouped into BATCHES that
+    * execute as ONE Spark job each (dynamic day partitioning splits the
+    * output), amortizing the per-job fixed cost (plan + submit + commit,
+    * measured ~0.4-0.5 s against ~10 ms of per-day compute at bench
+    * scale) across the batch — while each day still commits individually
+    * (atomic rename + marker), so visibility, fingerprints and resume stay
+    * day-grained; a crash mid-batch redoes only that batch's uncommitted
+    * days. `unitBatch` > 0 fixes the batch size; 0 sizes it so the
+    * submission pool cycles ~4 rounds of batches (capped at 16 days).
+    * Batching is disabled under `failAfter` (it counts day units) and
+    * without `dayBucket` (a generic transform's output can't be split). */
   def runUnits(
       spark: SparkSession,
       source: DaySource,
       outDir: String,
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       failAfter: Option[Int] = None,
-      parallelism: Int = 1): Seq[DayResult] = {
+      parallelism: Int = 1,
+      dayBucket: Option[Column] = None,
+      unitBatch: Int = 0): Seq[DayResult] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(outDir).getFileSystem(conf)
     val snapId = source.lineageId
     fs.mkdirs(new Path(outDir, "_checkpoints"))
     val done = new AtomicInteger(0)
 
-    def runDay(dayUs: Long): DayResult = {
-      val fp = source.dayFingerprint(dayUs)
-      if (isDone(spark, outDir, dayUs, fp)) DayResult(dayUs, 0L, 0L, skipped = true)
-      else {
-        failAfter.foreach(k =>
-          if (done.get() >= k) throw new RuntimeException(s"injected failure after $k units"))
-        val t0 = System.nanoTime()
+    // commit one completed (already renamed-into-place) day: row count from
+    // the COMMITTED files' parquet footers — metadata-only (no data
+    // re-read), and — unlike an Observation on the write action — exact
+    // under task retries/speculation, where each successful attempt's
+    // partial scan would inflate observed metrics. The marker rows value
+    // chains into dayFingerprint, so it must be durable-exact.
+    def commitDay(dayUs: Long, fp: Long, wallMs: Long): DayResult = {
+      val dayDir = new Path(outDir, s"day=$dayUs")
+      val rows = fs.listStatus(dayDir).iterator
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+      val bytes = fs.getContentSummary(dayDir).getLength
+      val node = mapper.createObjectNode()
+      node.put("source_snapshot_id", snapId)
+      node.put("source_files_fp", fp)
+      node.put("bucket_lo_us", dayUs)
+      node.put("bucket_hi_us", dayUs + DayUs - 1)
+      node.put("rows", rows)
+      node.put("bytes", bytes)
+      node.put("wall_ms", wallMs)
+      val tmp = new Path(outDir, s"_checkpoints/.day-$dayUs.tmp")
+      val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
+      try out.write(mapper.writeValueAsString(node)) finally out.close()
+      FileContext.getFileContext(new Path(outDir).toUri, conf)
+        .rename(tmp, markerPath(outDir, dayUs), Options.Rename.OVERWRITE)
+      done.incrementAndGet()
+      DayResult(dayUs, rows, bytes, skipped = false)
+    }
+
+    def runBatch(batch: Seq[(Long, Long)]): Seq[DayResult] = { // (dayUs, fp)
+      failAfter.foreach(k =>
+        if (done.get() >= k) throw new RuntimeException(s"injected failure after $k units"))
+      val t0 = System.nanoTime()
+      if (batch.size == 1) {
+        val (dayUs, fp) = batch.head
         val tier = transform(source.scanDay(spark, dayUs))
         val dayDir = new Path(outDir, s"day=$dayUs")
         val tmpDir = new Path(outDir, s".day-$dayUs.tmp")
@@ -192,60 +256,74 @@ object CheckpointedRollup {
         if (fs.exists(dayDir)) fs.delete(dayDir, true)
         if (!fs.rename(tmpDir, dayDir))
           throw new IllegalStateException(s"checkpoint commit: rename $tmpDir -> $dayDir failed")
-        // row count from the COMMITTED files' parquet footers: metadata-only
-        // (no data re-read), and — unlike an Observation on the write action
-        // — exact under task retries/speculation, where each successful
-        // attempt's partial scan would inflate observed metrics. The marker
-        // rows value chains into dayFingerprint, so it must be durable-exact.
-        val rows = fs.listStatus(dayDir).iterator
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { f =>
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-            try r.getRecordCount finally r.close()
-          }.sum
-        val bytes = fs.getContentSummary(dayDir).getLength
-        val node = mapper.createObjectNode()
-        node.put("source_snapshot_id", snapId)
-        node.put("source_files_fp", fp)
-        node.put("bucket_lo_us", dayUs)
-        node.put("bucket_hi_us", dayUs + DayUs - 1)
-        node.put("rows", rows)
-        node.put("bytes", bytes)
-        node.put("wall_ms", (System.nanoTime() - t0) / 1000000)
-        val tmp = new Path(outDir, s"_checkpoints/.day-$dayUs.tmp")
-        val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
-        try out.write(mapper.writeValueAsString(node)) finally out.close()
-        FileContext.getFileContext(new Path(outDir).toUri, conf)
-          .rename(tmp, markerPath(outDir, dayUs), Options.Rename.OVERWRITE)
-        done.incrementAndGet()
-        DayResult(dayUs, rows, bytes, skipped = false)
+        Seq(commitDay(dayUs, fp, (System.nanoTime() - t0) / 1000000))
+      } else {
+        val out = transform(source.scanDays(spark, batch.map(_._1)))
+        require(!out.columns.contains("day"),
+          "runUnits batching reserves the output column name 'day'")
+        // floor-div day of the bucket column (exact in double: |µs| < 2^53);
+        // the value doubles as the committed day-dir suffix
+        val us = unix_micros(dayBucket.get.cast("timestamp"))
+        val withDay = out.withColumn("day",
+          floor(us / lit(DayUs.toDouble)).cast("long") * lit(DayUs))
+        val tmpDir = new Path(outDir, s".batch-${batch.head._1}.tmp")
+        withDay.write.mode("overwrite").partitionBy("day").parquet(tmpDir.toString)
+        val results = batch.map { case (dayUs, fp) =>
+          val dayDir = new Path(outDir, s"day=$dayUs")
+          val src = new Path(tmpDir, s"day=$dayUs")
+          if (fs.exists(dayDir)) fs.delete(dayDir, true)
+          if (fs.exists(src)) {
+            if (!fs.rename(src, dayDir))
+              throw new IllegalStateException(s"checkpoint commit: rename $src -> $dayDir failed")
+          } else fs.mkdirs(dayDir) // a pending day can hold zero output rows
+          commitDay(dayUs, fp, (System.nanoTime() - t0) / 1000000)
+        }
+        // a transform emitting rows OUTSIDE the batch's days would vanish
+        // with the tmp dir below — fail fast instead of losing data
+        val stray = fs.listStatus(tmpDir).map(_.getPath.getName).filter(_.startsWith("day="))
+        require(stray.isEmpty,
+          s"runUnits batching: transform emitted rows outside the batch's days: ${stray.mkString(",")}")
+        fs.delete(tmpDir, true)
+        results
       }
     }
 
     val days = source.pendingDays
-    if (parallelism <= 1) days.map(runDay)
-    else {
-      // every day is lifted into a Try and ALL futures are awaited, so a
-      // failed day never abandons its in-flight siblings: their results
-      // (and any further exceptions, attached as suppressed) survive, and
-      // the thrown error reports the full failure set — the completed
-      // days' markers make the re-run resume exactly where this one died
-      val pool = Executors.newFixedThreadPool(parallelism)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try {
-        val tries = Await.result(
-          Future.traverse(days)(d => Future(scala.util.Try(runDay(d)))), Duration.Inf)
-        val failures = days.zip(tries).collect { case (d, scala.util.Failure(e)) => (d, e) }
-        if (failures.nonEmpty) {
-          val (d0, e0) = failures.head
-          val ex = new RuntimeException(
-            s"${failures.size}/${days.size} day units failed; first: day=$d0", e0)
-          failures.drop(1).foreach { case (_, e) => ex.addSuppressed(e) }
-          throw ex
-        }
-        tries.map(_.get)
-      } finally pool.shutdown()
-    }
+    val fps = days.map(d => d -> source.dayFingerprint(d))
+    val (doneDays, runDays) = fps.partition { case (d, fp) => isDone(spark, outDir, d, fp) }
+    val skippedResults = doneDays.map { case (d, _) => DayResult(d, 0L, 0L, skipped = true) }
+    val batchSize =
+      if (dayBucket.isEmpty || failAfter.isDefined) 1
+      else if (unitBatch > 0) unitBatch
+      else math.max(1, math.min(16,
+        math.ceil(runDays.size.toDouble / math.max(parallelism * 4, 1)).toInt))
+    val batches = runDays.grouped(batchSize).toSeq
+
+    val ran: Seq[DayResult] =
+      if (parallelism <= 1) batches.flatMap(runBatch)
+      else {
+        // every batch is lifted into a Try and ALL futures are awaited, so
+        // a failed batch never abandons its in-flight siblings: their
+        // results (and any further exceptions, attached as suppressed)
+        // survive, and the thrown error reports the full failure set — the
+        // completed days' markers make the re-run resume exactly where
+        // this one died
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val tries = Await.result(
+            Future.traverse(batches)(b => Future(scala.util.Try(runBatch(b)))), Duration.Inf)
+          val failures = batches.zip(tries).collect { case (b, scala.util.Failure(e)) => (b.head._1, e) }
+          if (failures.nonEmpty) {
+            val (d0, e0) = failures.head
+            val ex = new RuntimeException(
+              s"${failures.size}/${batches.size} batch units failed; first: day=$d0", e0)
+            failures.drop(1).foreach { case (_, e) => ex.addSuppressed(e) }
+            throw ex
+          }
+          tries.flatMap(_.get)
+        } finally pool.shutdown()
+      }
+    (skippedResults ++ ran).sortBy(_.dayUs)
   }
 }

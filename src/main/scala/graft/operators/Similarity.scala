@@ -126,11 +126,17 @@ object Similarity {
         .select(col("band"), col("bucket")),
       Seq("band", "bucket"))
     // candidate ids only through the band join (embeddings don't ride the
-    // band fan-out), pair-dedup before the exact-cosine verify
+    // band fan-out), pair-dedup before the exact-cosine verify. The dedup
+    // is clustered by vec_id ALONE: hash(vec_id) satisfies the aggregate's
+    // (vec_id, neighbour_id) clustering requirement, and the same
+    // partitioning then satisfies the rank window's partitionBy(vec_id) —
+    // one exchange serves both instead of a (vec_id, neighbour_id)
+    // exchange for the distinct plus a second full exchange for the window.
     val pairs = kept.select(col("band"), col("bucket"), col("id").as("vec_id"))
       .join(kept.select(col("band"), col("bucket"), col("id").as("neighbour_id")), Seq("band", "bucket"))
       .where(col("vec_id") =!= col("neighbour_id"))
       .select(col("vec_id"), col("neighbour_id"))
+      .repartition(col("vec_id"))
       .distinct()
     val cand = pairs
       .join(vecs.select(col("id").as("vec_id"), col("e").as("e_a")), Seq("vec_id"))
@@ -192,10 +198,13 @@ object Similarity {
       lloydIters: Int = 3,
       sim: (Column, Column) => Column = graft.plans.CosineSim.cosineSim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (vecs, indexed, probed) = ivfParts(df, id, emb, nLists, nProbe, lloydIters)
+    val (_, indexed, probed) = ivfParts(df, id, emb, nLists, nProbe, lloydIters)
+    // the query embedding rides the probe fan-out (n·nProbe rows), so the
+    // verify is ONE equi-join on list — re-attaching e_a to the CANDIDATE
+    // table by vec_id (the old shape) shuffled the strictly larger
+    // n·nProbe·listSize pair rows a second time plus a third source scan
     val cand = probed.join(indexed, Seq("list"))
       .where(col("vec_id") =!= col("neighbour_id"))
-      .join(vecs.select(col("id").as("vec_id"), col("e").as("e_a")), Seq("vec_id"))
       .select(col("vec_id"), col("neighbour_id"),
         sim(col("e_a"), col("e_b")).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbour_id"))
@@ -225,18 +234,20 @@ object Similarity {
       nProbe: Int = 20,
       lloydIters: Int = 3,
       sim: (Column, Column) => Column = graft.plans.CosineSim.cosineSim): DataFrame = {
-    val (vecs, indexed, probed) = ivfParts(df, id, emb, nLists, nProbe, lloydIters)
+    val (_, indexed, probed) = ivfParts(df, id, emb, nLists, nProbe, lloydIters)
+    // e_a rides the probe fan-out — see ivfTopK: one equi-join, no second
+    // shuffle of the candidate pairs
     probed.join(indexed, Seq("list"))
       .where(col("vec_id") < col("neighbour_id"))
-      .join(vecs.select(col("id").as("vec_id"), col("e").as("e_a")), Seq("vec_id"))
       .select(col("vec_id").as("id_a"), col("neighbour_id").as("id_b"),
         sim(col("e_a"), col("e_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
   /** IVF internals exposed for specs: (vecs(id, e), indexed(neighbour_id,
-    * e_b, list), probed(vec_id, list)) — lets tests assert the structural
-    * candidate bound (list sizes), which the public result hides. */
+    * e_b, list), probed(vec_id, e_a, list)) — lets tests assert the
+    * structural candidate bound (list sizes), which the public result
+    * hides. */
   private[graft] def ivfParts(
       df: DataFrame,
       id: Column,
@@ -321,8 +332,12 @@ object Similarity {
     val indexed = withProbes.select(
       col("id").as("neighbour_id"), col("e").as("e_b"),
       element_at(col("_p"), 1).as("list"))
-    // query side: nProbe nearest lists per vector (ids only ride the fan-out)
-    val probed = withProbes.select(col("id").as("vec_id"),
+    // query side: nProbe nearest lists per vector, the query's OWN
+    // embedding riding the fan-out (n·nProbe embedding copies — strictly
+    // fewer bytes than shuffling the n·nProbe·listSize candidate pair
+    // table a second time to re-attach it by vec_id, which is what an
+    // ids-only probe side forces the verify stage to do)
+    val probed = withProbes.select(col("id").as("vec_id"), col("e").as("e_a"),
       explode(col("_p")).as("list"))
     (vecs, indexed, probed)
   }

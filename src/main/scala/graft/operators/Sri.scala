@@ -169,11 +169,15 @@ object Sri {
         srcOrder.as("src"),
         status.as("st"),
         explode(sequence(tickOf(start, tickSeconds), tickOf(end, tickSeconds))).as("tick"))
-    val keepLast = Window.partitionBy(col("e"), col("tick")).orderBy(col("src").desc)
+    // keep-last as a hash aggregate (status of the max source order) rather
+    // than a row_number window: identical pick (srcOrder is the total
+    // order; ties were arbitrary in both forms), but max_by PARTIALLY
+    // aggregates map-side — the shuffle carries one row per (e, tick)
+    // instead of every exploded episode tick, and the per-partition sort
+    // the window needed disappears entirely.
     ticks
-      .withColumn("_rn", row_number().over(keepLast))
-      .where(col("_rn") === 1)
-      .select(col("e"), col("tick"), col("st"))
+      .groupBy(col("e"), col("tick"))
+      .agg(max_by(col("st"), col("src")).as("st"))
   }
 
   /** The literal dense-grid reference form of [[episodeSri]] (materializes

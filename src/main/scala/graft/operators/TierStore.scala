@@ -117,16 +117,20 @@ object TierStore {
       parallelism: Int = 1): (Seq[CheckpointedRollup.DayResult], Seq[CheckpointedRollup.DayResult], Seq[CheckpointedRollup.DayResult]) = {
     import CheckpointedRollup.{runUnits, DayDirSource, IceDaySource}
     val dirs = TierDirs(s"$root/1m", s"$root/1h", s"$root/1d")
+    // dayBucket = bucket_start: 1m/1h/1d windows never straddle a day, so
+    // runUnits may batch several day units into one Spark job (the per-job
+    // fixed cost dominated the build — see runUnits scaladoc) while each
+    // day still commits/fingerprints individually
     val r1m = runUnits(spark, new IceDaySource(source), dirs.t1m,
       raw => Rollup.rollupRawWithGorilla(
         raw.withColumn("_v", value), col("conv_id"), col("ts"), col("_v"), "1 minute"),
-      parallelism = parallelism)
+      parallelism = parallelism, dayBucket = Some(col("bucket_start")))
     val r1h = runUnits(spark, new DayDirSource(spark, dirs.t1m), dirs.t1h,
       t1m => Rollup.rollupTierWithGorilla(t1m, "1 hour"),
-      parallelism = parallelism)
+      parallelism = parallelism, dayBucket = Some(col("bucket_start")))
     val r1d = runUnits(spark, new DayDirSource(spark, dirs.t1h), dirs.t1d,
       t1h => Rollup.rollupTierWithGorilla(t1h, "1 day"),
-      parallelism = parallelism)
+      parallelism = parallelism, dayBucket = Some(col("bucket_start")))
     (r1m, r1h, r1d)
   }
 
