@@ -400,6 +400,10 @@ object Queries {
           .select(col("conv_id"), col("bucket_start"), round(col("mean"), 6).as("m"), col("n_rows"))
         GapFill
           .denseGrid(t1h, "1 HOUR")
+          // project BEFORE the window: the LOCF sort needs only (conv_id,
+          // bucket_start, m, is_gap) — carrying the unused tier columns
+          // through the per-entity sort is pure shuffle/sort weight
+          .select(col("conv_id"), col("bucket_start"), col("m"), col("is_gap"))
           .withColumn("filled", GapFill.locf(col("m")))
           .select(col("conv_id"), col("bucket_start"), col("filled"), col("is_gap"))
       },
@@ -427,8 +431,16 @@ object Queries {
         // results are bit-equal — while rounding the output would hit
         // half-tie disagreements (Spark HALF_UP vs DuckDB half-even) on the
         // exact .xxxxxx5 values a frac=1/2 lerp of 6dp inputs produces.
+        // interpolatedFrom: the tier itself supplies the run-indexed
+        // next-observation side, so the grid pays ONE ascending sort pass
+        // plus an equi-join instead of a second full descending sort
+        // (result-identical — see GapFill scaladoc + RollupSpec parity)
         GapFill
-          .interpolated(GapFill.denseGrid(t1h, "1 HOUR"), "m")
+          .interpolatedFrom(
+            GapFill.denseGrid(t1h, "1 HOUR")
+              // project before the interp window sort (see locf note)
+              .select(col("conv_id"), col("bucket_start"), col("m"), col("is_gap")),
+            "m", t1h)
           .select(col("conv_id"), col("bucket_start"), col("m_interp"), col("is_gap"))
       },
       Some(
@@ -462,20 +474,22 @@ object Queries {
           |FROM w""".stripMargin))),
 
     // D2 keep-last per (entity, bucket) — overlapping-episode dedup.
-    // Keep-last as a hash aggregate (row of the max event_id via max_by)
-    // instead of a row_number window: event_id is unique, so the picked
-    // row is identical, but the aggregate PARTIALLY combines map-side (the
-    // shuffle carries one candidate row per (entity, bucket) per task, not
-    // every raw row) and needs no per-partition sort — the shape that
-    // survives 10^12-row groups where a sort-window straggles.
+    // Stays the row_number-window form: Spark 3.5+ rewrites the rn=1
+    // filter into a WindowGroupLimit (map-side top-1 per group before the
+    // shuffle — effectively partial aggregation), and a max_by(struct…)
+    // aggregate was MEASURED SLOWER here (0.35→0.46 s): struct/string
+    // aggregation buffers are not UnsafeRow-mutable, so the whole query
+    // fell from HashAggregate to a two-sort SortAggregate.
     "q_keep_last" -> ((
       (s: SparkSession, dir: String) => {
+        val w = Window
+          .partitionBy(col("user_id"), date_trunc("minute", col("ts")))
+          .orderBy(col("event_id").desc)
         events(s, dir)
-          .groupBy(col("user_id").as("conv_id"), date_trunc("minute", col("ts")).as("bucket_start"))
-          .agg(max_by(
-            struct(col("event_id"), col("event_type"), col("value")), col("event_id")).as("_r"))
-          .select(col("_r.event_id").as("event_id"), col("conv_id"), col("bucket_start"),
-            col("_r.event_type").as("event_type"), col("_r.value").as("value"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_id"), col("user_id").as("conv_id"),
+            date_trunc("minute", col("ts")).as("bucket_start"), col("event_type"), col("value"))
       },
       Some(
         """SELECT event_id, user_id AS conv_id, date_trunc('minute', ts) AS bucket_start,

@@ -192,7 +192,10 @@ object CheckpointedRollup {
     * (atomic rename + marker), so visibility, fingerprints and resume stay
     * day-grained; a crash mid-batch redoes only that batch's uncommitted
     * days. `unitBatch` > 0 fixes the batch size; 0 sizes it so the
-    * submission pool cycles ~4 rounds of batches (capped at 16 days).
+    * submission pool cycles ~4 rounds of batches (capped at 16 days;
+    * measured flat across 5-9 days/batch and degrading past ~12 on the
+    * bench shape — see OPTIMIZATION_r06.md), overridable via the
+    * `SPARK_GRAFT_UNIT_BATCH` env for deployment tuning.
     * Batching is disabled under `failAfter` (it counts day units) and
     * without `dayBucket` (a generic transform's output can't be split). */
   def runUnits(
@@ -218,14 +221,17 @@ object CheckpointedRollup {
     // chains into dayFingerprint, so it must be durable-exact.
     def commitDay(dayUs: Long, fp: Long, wallMs: Long): DayResult = {
       val dayDir = new Path(outDir, s"day=$dayUs")
-      val rows = fs.listStatus(dayDir).iterator
+      val status = fs.listStatus(dayDir)
+      val rows = status.iterator
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map { f =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
           try r.getRecordCount finally r.close()
         }.sum
-      val bytes = fs.getContentSummary(dayDir).getLength
+      // day dirs are flat, so the one listing serves both the footer walk
+      // and the byte total (getContentSummary re-walked the tree per day)
+      val bytes = status.iterator.map(_.getLen).sum
       val node = mapper.createObjectNode()
       node.put("source_snapshot_id", snapId)
       node.put("source_files_fp", fp)
@@ -295,8 +301,9 @@ object CheckpointedRollup {
     val batchSize =
       if (dayBucket.isEmpty || failAfter.isDefined) 1
       else if (unitBatch > 0) unitBatch
-      else math.max(1, math.min(16,
-        math.ceil(runDays.size.toDouble / math.max(parallelism * 4, 1)).toInt))
+      else sys.env.get("SPARK_GRAFT_UNIT_BATCH").map(_.toInt).getOrElse(
+        math.max(1, math.min(16,
+          math.ceil(runDays.size.toDouble / math.max(parallelism * 4, 1)).toInt)))
     val batches = runDays.grouped(batchSize).toSeq
 
     val ran: Seq[DayResult] =

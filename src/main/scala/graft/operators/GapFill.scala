@@ -92,8 +92,67 @@ object GapFill {
 
   /** Linear interpolation of `valueCol` across null runs on the dense grid.
     * Uses bucket epoch seconds as the x axis; endpoints (leading/trailing
-    * null runs) fall back to LOCF/NOCB of the nearest value. */
-  def interpolated(grid: DataFrame, valueCol: String): DataFrame = {
+    * null runs) fall back to LOCF/NOCB of the nearest value.
+    * Delegates to [[interpolatedFrom]] with the grid itself as the
+    * observation source. */
+  def interpolated(grid: DataFrame, valueCol: String): DataFrame =
+    interpolatedFrom(grid, valueCol, grid)
+
+  /** [[interpolated]] with the NON-NULL observations supplied as a separate
+    * (usually far cheaper) relation `obs` — e.g. the pre-densify tier the
+    * grid was built from. Replaces the second, DESCENDING sort pass the
+    * NOCB endpoints needed (two full per-entity sorts of the dense grid)
+    * with one ascending pass plus an equi-join against the run-indexed
+    * observations: the ascending pass also counts non-null values seen
+    * (`g`), the k-th non-null row of `obs` carries run index k, and the
+    * next observation after any grid row is exactly run index g+1 — an
+    * equi-join on (conv_id, g+1) over a tier-sized table (auto-broadcast
+    * at small scale; at scale an equi-join of grid vs tier, still strictly
+    * cheaper than re-sorting the grid descending). Result-identical to the
+    * two-sort form (pinned by RollupSpec parity spec): the lerp consumes
+    * the same prev/next (value, x) doubles through the same expression.
+    *
+    * `obs` must contain exactly the grid's non-null `valueCol` rows as
+    * (conv_id, bucket_start, valueCol) — true by construction when `obs`
+    * is the tier that `denseGrid` densified. */
+  def interpolatedFrom(grid: DataFrame, valueCol: String, obs: DataFrame): DataFrame = {
+    val x = unix_timestamp(col("bucket_start")).cast("double")
+    val v = col(valueCol)
+    val wRun = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrev = grid
+      .withColumn("_pv", last(v, ignoreNulls = true).over(wRun))
+      .withColumn("_px", last(when(v.isNotNull, x), ignoreNulls = true).over(wRun))
+      .withColumn("_g", count(v).over(wRun))
+    val wObs = Window.partitionBy(col("conv_id")).orderBy(col("bucket_start"))
+    val firsts = obs
+      .where(col(valueCol).isNotNull)
+      .select(col("conv_id"), col("bucket_start"), col(valueCol))
+      .withColumn("_gn", row_number().over(wObs).cast("long"))
+      .select(col("conv_id").as("_fc"), col("_gn"),
+        col(valueCol).as("_nv"),
+        unix_timestamp(col("bucket_start")).cast("double").as("_nx"))
+    val joined = withPrev.join(firsts,
+      col("conv_id") === col("_fc") && col("_g") + lit(1L) === col("_gn"), "left")
+    val prevV = col("_pv")
+    val nextV = col("_nv")
+    val prevX = col("_px")
+    val nextX = col("_nx")
+    val lerp = prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX)
+    joined
+      .withColumn(
+        s"${valueCol}_interp",
+        when(v.isNotNull, v)
+          .when(prevV.isNull, nextV)          // leading gap
+          .when(nextV.isNull, prevV)          // trailing gap
+          .when(nextX === prevX, prevV)
+          .otherwise(lerp))
+      .drop("_pv", "_px", "_g", "_fc", "_gn", "_nv", "_nx")
+  }
+
+  /** The literal two-sort (ascending LOCF + descending NOCB) reference
+    * form of [[interpolated]] — kept as the executable specification the
+    * join form is parity-pinned against (RollupSpec). */
+  private[graft] def interpolatedTwoSort(grid: DataFrame, valueCol: String): DataFrame = {
     val x = unix_timestamp(col("bucket_start")).cast("double")
     val v = col(valueCol)
     val prevV = locf(v)

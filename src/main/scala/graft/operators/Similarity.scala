@@ -126,23 +126,30 @@ object Similarity {
         .select(col("band"), col("bucket")),
       Seq("band", "bucket"))
     // candidate ids only through the band join (embeddings don't ride the
-    // band fan-out), pair-dedup before the exact-cosine verify. The dedup
-    // is clustered by vec_id ALONE: hash(vec_id) satisfies the aggregate's
-    // (vec_id, neighbour_id) clustering requirement, and the same
-    // partitioning then satisfies the rank window's partitionBy(vec_id) —
-    // one exchange serves both instead of a (vec_id, neighbour_id)
-    // exchange for the distinct plus a second full exchange for the window.
-    val pairs = kept.select(col("band"), col("bucket"), col("id").as("vec_id"))
-      .join(kept.select(col("band"), col("bucket"), col("id").as("neighbour_id")), Seq("band", "bucket"))
-      .where(col("vec_id") =!= col("neighbour_id"))
-      .select(col("vec_id"), col("neighbour_id"))
-      .repartition(col("vec_id"))
+    // band fan-out). Candidates are generated as UNORDERED pairs
+    // (id_a < id_b in the join condition): that halves the band-join
+    // output, halves the pair-dedup shuffle (map-side partial dedup then
+    // one exchange), and halves the exact-cosine evaluations — the cosine
+    // is symmetric bit-for-bit (same products in the same order, FP
+    // multiply commutes), so ONE verify per unordered pair serves both
+    // ranking directions, restored by a constant 2-fan explode before the
+    // per-query rank window (whose rn<=k filter compiles to a
+    // WindowGroupLimit: map-side top-k precedes its exchange).
+    val pairs = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-    val cand = pairs
-      .join(vecs.select(col("id").as("vec_id"), col("e").as("e_a")), Seq("vec_id"))
-      .join(vecs.select(col("id").as("neighbour_id"), col("e").as("e_b")), Seq("neighbour_id"))
-      .select(col("vec_id"), col("neighbour_id"),
+    val sims = pairs
+      .join(vecs.select(col("id").as("id_a"), col("e").as("e_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("e").as("e_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         graft.plans.CosineSim.cosineSim(col("e_a"), col("e_b")).as("sim"))
+    val cand = sims.select(explode(array(
+        struct(col("id_a").as("vec_id"), col("id_b").as("neighbour_id"), col("sim")),
+        struct(col("id_b").as("vec_id"), col("id_a").as("neighbour_id"), col("sim")))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbour_id").as("neighbour_id"),
+        col("p.sim").as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbour_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -203,10 +210,33 @@ object Similarity {
     // verify is ONE equi-join on list — re-attaching e_a to the CANDIDATE
     // table by vec_id (the old shape) shuffled the strictly larger
     // n·nProbe·listSize pair rows a second time plus a third source scan
-    val cand = probed.join(indexed, Seq("list"))
-      .where(col("vec_id") =!= col("neighbour_id"))
-      .select(col("vec_id"), col("neighbour_id"),
-        sim(col("e_a"), col("e_b")).as("sim"))
+    val joined = probed.join(indexed, Seq("list"))
+    val cand =
+      if (nProbe >= nLists) {
+        // FULL probe: every vector probes every list, so each ORDERED pair
+        // meets exactly once and both directions are guaranteed present —
+        // the symmetric sim (bit-equal under operand swap: dot and na·nb
+        // commute) is computed once per UNORDERED pair and fanned back out
+        // with a constant 2-explode. Halves the verify evaluations; the
+        // rank window input is unchanged. At partial probe the candidate
+        // relation is asymmetric (a probing b's list ≠ b probing a's), so
+        // this rewrite applies only here.
+        joined
+          .where(col("vec_id") < col("neighbour_id"))
+          .select(col("vec_id"), col("neighbour_id"),
+            sim(col("e_a"), col("e_b")).as("sim"))
+          .select(explode(array(
+            struct(col("vec_id"), col("neighbour_id"), col("sim")),
+            struct(col("neighbour_id").as("vec_id"), col("vec_id").as("neighbour_id"),
+              col("sim")))).as("p"))
+          .select(col("p.vec_id").as("vec_id"), col("p.neighbour_id").as("neighbour_id"),
+            col("p.sim").as("sim"))
+      } else {
+        joined
+          .where(col("vec_id") =!= col("neighbour_id"))
+          .select(col("vec_id"), col("neighbour_id"),
+            sim(col("e_a"), col("e_b")).as("sim"))
+      }
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbour_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

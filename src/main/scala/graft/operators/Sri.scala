@@ -86,7 +86,12 @@ object Sri {
       tickSeconds: Int,
       lagTicks: Int,
       fillStatus: Int = 0): DataFrame = {
+    // re-cluster the deduped ticks by entity once — hash(e) satisfies the
+    // per-tick and disagreement aggregates and the final span join (same
+    // single-partitioning argument as activeTicks); the repartition moves
+    // the time-bounded deduped set, not raw episode ticks
     val deduped = dedupedEpisodeTicks(episodes, entity, start, end, status, srcOrder, tickSeconds)
+      .repartition(col("e"))
     // span straight from the EPISODES (no explode, no dedup): keep-last
     // changes which status a tick carries, never which ticks exist, so
     // the deduped span equals the episode tick-bound span — deriving it
@@ -202,7 +207,11 @@ object Sri {
     score(filled.select(col("e"), col("tick"), col("status")), col("e"), lagTicks)
   }
 
-  /** Active tick set + span per entity (shared by the sparse SRI forms). */
+  /** Active tick set + span per entity (shared by the sparse SRI forms).
+    * (An e-only re-clustering of the active set was measured here and
+    * REVERTED: the span branch collapses to a direct scan-side aggregate
+    * today, and forcing it through the repartitioned active subtree cost
+    * more than the downstream exchanges it saved at every tested scale.) */
   private def activeTicks(
       turns: DataFrame,
       entity: Column,

@@ -123,6 +123,32 @@ class RollupSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("gap-fill interpolation: join form ≡ two-sort reference form, bit-exact") {
+    import graft.operators.GapFill
+    // tier with interior gaps, leading/trailing gaps, a null-m tier row
+    // (n_rows>0 but no values — must interpolate ACROSS it), and an
+    // all-null entity (every interp output null-or-LOCF-free)
+    val rows = Seq(
+      ("c1", "2025-01-01 00:00:00", Some(10.0)),
+      ("c1", "2025-01-01 03:00:00", Some(40.0)),
+      ("c1", "2025-01-01 04:00:00", None), // null-m tier row mid-series
+      ("c1", "2025-01-01 07:00:00", Some(5.0)),
+      ("c2", "2025-01-02 00:00:00", None), // all-null entity
+      ("c2", "2025-01-02 05:00:00", None),
+      ("c3", "2025-01-03 02:00:00", Some(1.25))) // single point
+    val tier = rows.toDF("conv_id", "tss", "m")
+      .select($"conv_id", to_timestamp($"tss").as("bucket_start"),
+        $"m".cast("double").as("m"), lit(1L).as("n_rows"))
+    val grid = GapFill.denseGrid(tier, "1 HOUR").cache()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"conv_id", $"bucket_start", $"m_interp", $"is_gap")
+      .orderBy("conv_id", "bucket_start").collect().toSeq
+    val join2 = canon(GapFill.interpolatedFrom(grid, "m", tier))
+    val ref = canon(GapFill.interpolatedTwoSort(grid, "m"))
+    assert(join2 == ref) // Row equality is bit-exact on doubles
+    grid.unpersist()
+  }
+
   test("per-turn text equality survives the engine pass (input_hint invariant)") {
     val t = TranscriptGen.turns(spark, nConvs = 15L, withDuplicates = false)
     val before = t.orderBy("conv_id", "turn_idx").select("text").as[String].collect()
