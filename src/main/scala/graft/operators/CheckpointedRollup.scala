@@ -19,7 +19,8 @@ import graft.sources.IceTable
   * per work unit, each unit committed with a lineage-carrying checkpoint.
   *
   * Checkpoint JSON per day: {source_snapshot_id, bucket_lo_us, bucket_hi_us,
-  * rows, bytes, wall_ms} — exactly the north rule's "per-partition
+  * rows, bytes, wall_ms} (wall_ms = the day's amortized share of its batch
+  * job under day-unit batching) — exactly the north rule's "per-partition
   * checkpoints carrying lineage (source snapshot-id, bucket range) and
   * row/byte metrics", and the engine analog of the reference's
   * executed=/used= provenance on every egress
@@ -265,7 +266,10 @@ object CheckpointedRollup {
         Seq(commitDay(dayUs, fp, (System.nanoTime() - t0) / 1000000))
       } else {
         val out = transform(source.scanDays(spark, batch.map(_._1)))
-        require(!out.columns.contains("day"),
+        // case-INSENSITIVE reservation check: Spark resolves columns
+        // case-insensitively by default, so a transform column 'Day'
+        // would otherwise be silently replaced by the partition value
+        require(!out.columns.exists(_.equalsIgnoreCase("day")),
           "runUnits batching reserves the output column name 'day'")
         // floor-div day of the bucket column (exact in double: |µs| < 2^53);
         // the value doubles as the committed day-dir suffix
@@ -274,21 +278,37 @@ object CheckpointedRollup {
           floor(us / lit(DayUs.toDouble)).cast("long") * lit(DayUs))
         val tmpDir = new Path(outDir, s".batch-${batch.head._1}.tmp")
         withDay.write.mode("overwrite").partitionBy("day").parquet(tmpDir.toString)
+        // a transform emitting rows OUTSIDE the batch's days would vanish
+        // with the tmp dir below — fail fast BEFORE any day commits, so a
+        // contract violation never leaves valid markers over missing data
+        val written = fs.listStatus(tmpDir).map(_.getPath.getName)
+          .filter(_.startsWith("day=")).map(_.stripPrefix("day=").toLong).toSet
+        val stray = written -- batch.map(_._1).toSet
+        require(stray.isEmpty,
+          s"runUnits batching: transform emitted rows outside the batch's days: ${stray.mkString(",")}")
+        val wallShareMs = (System.nanoTime() - t0) / 1000000 / batch.size
         val results = batch.map { case (dayUs, fp) =>
           val dayDir = new Path(outDir, s"day=$dayUs")
           val src = new Path(tmpDir, s"day=$dayUs")
           if (fs.exists(dayDir)) fs.delete(dayDir, true)
-          if (fs.exists(src)) {
+          if (written.contains(dayUs)) {
             if (!fs.rename(src, dayDir))
               throw new IllegalStateException(s"checkpoint commit: rename $src -> $dayDir failed")
-          } else fs.mkdirs(dayDir) // a pending day can hold zero output rows
-          commitDay(dayUs, fp, (System.nanoTime() - t0) / 1000000)
+          } else {
+            // a pending day can hold zero output rows (a source file span
+            // covering a row-less day): commit a SCHEMA-BEARING empty
+            // parquet dir, exactly like the single-day path's empty write
+            // — a bare mkdirs would make any later single-day scan of this
+            // day fail schema inference
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), out.schema)
+              .write.mode("overwrite").parquet(dayDir.toString)
+          }
+          // wall_ms = this day's amortized share of its batch job (the
+          // job is indivisible; recording the full batch wall per day
+          // would overstate summed per-day wall by up to batchSize×)
+          commitDay(dayUs, fp, wallShareMs)
         }
-        // a transform emitting rows OUTSIDE the batch's days would vanish
-        // with the tmp dir below — fail fast instead of losing data
-        val stray = fs.listStatus(tmpDir).map(_.getPath.getName).filter(_.startsWith("day="))
-        require(stray.isEmpty,
-          s"runUnits batching: transform emitted rows outside the batch's days: ${stray.mkString(",")}")
         fs.delete(tmpDir, true)
         results
       }
@@ -301,8 +321,9 @@ object CheckpointedRollup {
     val batchSize =
       if (dayBucket.isEmpty || failAfter.isDefined) 1
       else if (unitBatch > 0) unitBatch
-      else sys.env.get("SPARK_GRAFT_UNIT_BATCH").map(_.toInt).getOrElse(
-        math.max(1, math.min(16,
+      else sys.env.get("SPARK_GRAFT_UNIT_BATCH")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+        .getOrElse(math.max(1, math.min(16,
           math.ceil(runDays.size.toDouble / math.max(parallelism * 4, 1)).toInt)))
     val batches = runDays.grouped(batchSize).toSeq
 

@@ -145,14 +145,24 @@ object Similarity {
       .join(vecs.select(col("id").as("id_b"), col("e").as("e_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.plans.CosineSim.cosineSim(col("e_a"), col("e_b")).as("sim"))
-    val cand = sims.select(explode(array(
-        struct(col("id_a").as("vec_id"), col("id_b").as("neighbour_id"), col("sim")),
-        struct(col("id_b").as("vec_id"), col("id_a").as("neighbour_id"), col("sim")))).as("p"))
-      .select(col("p.vec_id").as("vec_id"), col("p.neighbour_id").as("neighbour_id"),
-        col("p.sim").as("sim"))
+    val cand = fanOutSymmetric(sims.select(
+      col("id_a").as("vec_id"), col("id_b").as("neighbour_id"), col("sim")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbour_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Fan one verified UNORDERED pair (vec_id, neighbour_id, sim) out to
+    * both ranking directions via a constant 2-explode — the shared tail of
+    * the symmetric-similarity halving in [[lshTopK]] and [[ivfTopK]]
+    * (valid only where both directions are known to be candidate pairs and
+    * `sim` commutes bit-for-bit). */
+  private def fanOutSymmetric(sims: DataFrame): DataFrame =
+    sims.select(explode(array(
+        struct(col("vec_id"), col("neighbour_id"), col("sim")),
+        struct(col("neighbour_id").as("vec_id"), col("vec_id").as("neighbour_id"),
+          col("sim")))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbour_id").as("neighbour_id"),
+        col("p.sim").as("sim"))
 
   /** IVF-bucketed ANN: top-k neighbours per vector through an inverted-file
     * coarse quantizer (Jégou et al. 2011's IVF stage) instead of hyperplane
@@ -221,16 +231,10 @@ object Similarity {
         // rank window input is unchanged. At partial probe the candidate
         // relation is asymmetric (a probing b's list ≠ b probing a's), so
         // this rewrite applies only here.
-        joined
+        fanOutSymmetric(joined
           .where(col("vec_id") < col("neighbour_id"))
           .select(col("vec_id"), col("neighbour_id"),
-            sim(col("e_a"), col("e_b")).as("sim"))
-          .select(explode(array(
-            struct(col("vec_id"), col("neighbour_id"), col("sim")),
-            struct(col("neighbour_id").as("vec_id"), col("vec_id").as("neighbour_id"),
-              col("sim")))).as("p"))
-          .select(col("p.vec_id").as("vec_id"), col("p.neighbour_id").as("neighbour_id"),
-            col("p.sim").as("sim"))
+            sim(col("e_a"), col("e_b")).as("sim")))
       } else {
         joined
           .where(col("vec_id") =!= col("neighbour_id"))

@@ -139,7 +139,26 @@ final class IceTable(val root: String) {
     val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
     try out.write(content) finally out.close()
     val fc = FileContext.getFileContext(rootPath.toUri, hadoopConf)
-    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    // local ChecksumFs renames the data file and its .crc sibling as TWO
+    // steps, so two concurrent overwrites of the same dst (e.g. vacuum's
+    // key-index sync beside an active appender) can interleave such that
+    // the loser's crc rename hits the winner's fresh .crc and throws
+    // FileAlreadyExistsException (observed under heavy host load). Both
+    // writers carry a complete value and last-writer-wins is the contract
+    // here, so clear the stale sibling and retry; readers tolerate a
+    // briefly absent .crc (ChecksumFs skips verification then).
+    var attempts = 0
+    var renamed = false
+    while (!renamed) {
+      try {
+        fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+        renamed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException if attempts < 3 =>
+          attempts += 1
+          fs.delete(new Path(dst.getParent, s".${dst.getName}.crc"), false)
+      }
+    }
   }
 
   /** Highest committed snapshot id: max of the CURRENT hint and the

@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   * (no names → all queries). Prints one JSON line like Bench's `queries`. */
 object BenchExtra {
 
+  // Mirrors Bench.session verbatim — Bench.scala is a FROZEN driver
+  // surface (hashed by the driver), so its private session builder cannot
+  // be widened for sharing; keep this copy in sync by hand.
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -337,6 +337,42 @@ class IceTableSpec extends SparkSpec {
       "the permanent per-table commit-lock file exists (never deleted - see claimLocalFs)")
   }
 
+  test("batched day units: one job per batch, per-day markers, empty days stay scannable") {
+    // one source file spanning 3 days with rows ONLY on day 1 and day 3:
+    // day 2 is pending (file span covers it) but holds zero rows — the
+    // batch path must commit it as a SCHEMA-BEARING empty parquet dir, or
+    // any later single-day scan of it fails schema inference
+    val rows = Seq(
+      ("c1", "2025-02-01 10:00:00", 3.0),
+      ("c1", "2025-02-03 10:00:00", 7.0),
+      ("c2", "2025-02-01 11:00:00", 5.0))
+      .toDF("conv_id", "tss", "text_len")
+      .select($"conv_id", to_timestamp($"tss").as("ts"), $"text_len")
+    val t = IceTable(tmp("ice-empty"))
+    t.append(rows.coalesce(1).sortWithinPartitions("ts"), "ts")
+    val outDir = tmp("tier-batched")
+    val res = CheckpointedRollup.runUnits(spark, new CheckpointedRollup.IceDaySource(t), outDir,
+      raw => Rollup.rollupRaw(raw, col("conv_id"), col("ts"), col("text_len"), "1 minute"),
+      parallelism = 1, dayBucket = Some(col("bucket_start")), unitBatch = 3)
+    assert(res.length == 3, s"3 pending days expected, got $res")
+    val empty = res.find(_.rows == 0L)
+    assert(empty.isDefined, s"the row-less middle day must commit with rows=0: $res")
+    // per-day markers exist and single-day re-scan of EVERY day (incl. the
+    // empty one) succeeds with the tier schema
+    val src = new CheckpointedRollup.DayDirSource(spark, outDir)
+    assert(src.pendingDays.length == 3)
+    src.pendingDays.foreach { d =>
+      val df = src.scanDay(spark, d)
+      assert(df.columns.contains("bucket_start"), s"day $d lost its schema")
+    }
+    assert(src.scanDays(spark, src.pendingDays).count() == 3) // 3 (conv, minute) buckets
+    // rebuild is a metadata-only skip for all days, empty one included
+    val again = CheckpointedRollup.runUnits(spark, new CheckpointedRollup.IceDaySource(t), outDir,
+      raw => Rollup.rollupRaw(raw, col("conv_id"), col("ts"), col("text_len"), "1 minute"),
+      parallelism = 1, dayBucket = Some(col("bucket_start")), unitBatch = 3)
+    assert(again.forall(_.skipped), s"unchanged source must skip all days: $again")
+  }
+
   test("checkpointed rollup resumes after crash with identical output") {
     val t = IceTable(tmp("ice"))
     t.append(turnsDf.withColumn("text_len", length($"text").cast("double")), "ts")
