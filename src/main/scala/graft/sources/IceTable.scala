@@ -305,29 +305,34 @@ final class IceTable(val root: String) {
   private def claimLocalFs(tmp: Path, dst: Path): Boolean = {
     val lockPath = java.nio.file.Paths.get(
       fs.makeQualified(new Path(snapDir, ".commit.lock")).toUri.getPath)
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock =
-        try ch.tryLock()
-        catch { case _: java.nio.channels.OverlappingFileLockException => null }
-      if (lock == null) {
-        fs.delete(tmp, false): Unit
-        Thread.sleep(50) // competitor holds the commit lock — yield, retry
-        false
-      } else {
-        try {
-          if (fs.exists(dst)) { fs.delete(tmp, false); false }
-          else {
-            java.nio.file.Files.move(
-              java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
-              java.nio.file.Paths.get(fs.makeQualified(dst).toUri),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            true
-          }
-        } finally lock.release()
-      }
-    } finally ch.close()
+    // ONE never-closed channel per lock path per JVM (companion cache):
+    // FileLock's javadoc allows closing ANY channel to a file to release
+    // ALL of the JVM's locks on it, so a per-claim open/close let a losing
+    // same-JVM claimant's close() drop the concurrent winner's lock
+    // mid-critical-section. A shared channel makes same-JVM contention
+    // surface ONLY as OverlappingFileLockException / null tryLock (both
+    // read as claim-lost below) and leaks exactly one descriptor per
+    // table per JVM lifetime.
+    val ch = IceTable.lockChannelFor(lockPath)
+    val lock =
+      try ch.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (lock == null) {
+      fs.delete(tmp, false): Unit
+      Thread.sleep(50) // competitor holds the commit lock — yield, retry
+      false
+    } else {
+      try {
+        if (fs.exists(dst)) { fs.delete(tmp, false); false }
+        else {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(dst).toUri),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        }
+      } finally lock.release()
+    }
   }
 
   /** Linearized commit: build the snapshot against the CURRENT parent,
@@ -648,11 +653,24 @@ object IceTable {
   val BaseEvery = 64
 
   /** Per-root commit monitors: serializes same-JVM writers (cheaper than
-    * marker contention; cross-process local-FS writers are serialized by
-    * the exclusive-create claim marker, HDFS claims by atomic rename). */
+    * lock-file contention; cross-process local-FS writers are serialized
+    * by claimLocalFs's OS advisory FileChannel lock on the permanent
+    * `.commit.lock` file, HDFS claims by atomic rename). */
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[sources] def lockFor(root: String): Object =
     locks.computeIfAbsent(root, _ => new Object)
+
+  /** One NEVER-CLOSED FileChannel per commit-lock path per JVM: FileLock
+    * permits closing any channel to a file to release all of the JVM's
+    * locks on it, so per-claim open/close could drop a concurrent
+    * winner's lock (see claimLocalFs). One descriptor per table, JVM
+    * lifetime. */
+  private val lockChannels =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.channels.FileChannel]()
+  private[sources] def lockChannelFor(p: java.nio.file.Path): java.nio.channels.FileChannel =
+    lockChannels.computeIfAbsent(p.toString, _ =>
+      java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE))
 
   def apply(root: String): IceTable = new IceTable(root)
 }
